@@ -199,16 +199,17 @@ def wavelet_fwd(arr, filter_idx):
 
 
 def wavelet_inv(arr, filter_idx):
+    # The reference is always called in place (dest aliases src:
+    # schrodecoder.c:1842, schroencoder.c:2678); some wavelets rely on it.
     L = lib()
-    src = np.array(arr, copy=True)
-    dest = np.zeros_like(src)
-    fmt = FRAME_S16_444 if src.dtype == np.int16 else FRAME_S32_444
-    fd_src = _fd_from_numpy(src, fmt)
-    fd_dest = _fd_from_numpy(dest, fmt)
-    tmp = np.zeros(src.shape[1] + 32, dtype=np.int64)
+    buf = np.array(arr, copy=True)
+    fmt = FRAME_S16_444 if buf.dtype == np.int16 else FRAME_S32_444
+    fd_src = _fd_from_numpy(buf, fmt)
+    fd_dest = _fd_from_numpy(buf, fmt)
+    tmp = np.zeros(buf.shape[1] + 32, dtype=np.int64)
     L.schro_wavelet_inverse_transform_2d(
         C.byref(fd_dest), C.byref(fd_src), filter_idx, tmp.ctypes.data_as(C.c_void_p))
-    return dest
+    return buf
 
 
 def quantise(value, quant_factor, quant_offset):

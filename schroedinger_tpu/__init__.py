@@ -1,0 +1,20 @@
+"""schroedinger_tpu — a TPU-native Dirac / SMPTE VC-2 video codec framework.
+
+A from-scratch JAX/XLA/Pallas implementation of the Dirac and VC-2 wavelet
+video codecs, with the capabilities of the schroedinger reference library
+(encode + decode, all 7 wavelets, intra + long-GOP motion-compensated coding,
+VC-2 low-delay slices, arithmetic coding, rate control), designed TPU-first:
+
+- integer lifting wavelet transforms as vectorized jnp / Pallas kernels
+- subband quantisation + RDO evaluated for all 60 quant indices in parallel
+- OBMC motion compensation and hierarchical block-matching on the MXU
+- entropy coding vectorized across independent streams (subbands / slices)
+- multi-chip scaling via jax.sharding Mesh (frames-within-GOP, tile sharding)
+
+Bitstream behavior matches the reference (dschleef/schroedinger); decoded
+output is bit-exact for lossless VC-2 configurations.
+"""
+
+__version__ = "0.1.0"
+
+from schroedinger_tpu.wavelets import Wavelet  # noqa: F401
