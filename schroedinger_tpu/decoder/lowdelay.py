@@ -1,0 +1,164 @@
+"""VC-2 low-delay picture decoder.
+
+Slice payloads decode in lockstep across all slices (vectorized exp-Golomb);
+dequantisation and the inverse wavelet run as array programs; only the small
+LL DC-prediction integration is sequential (schrodecoder.c:3220-3247).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from schroedinger_tpu import tables
+from schroedinger_tpu.coding import slices as sl
+from schroedinger_tpu.coding import vlc
+from schroedinger_tpu.ops import wavelet as wv
+from schroedinger_tpu.params import Params, subband_count
+
+QF = tables.QUANT_FACTOR.astype(np.int64)
+QO = tables.QUANT_OFFSET_1_2.astype(np.int64)
+
+
+def ilog2up(x: int) -> int:
+    return int(x).bit_length()
+
+
+def divide3(a):
+    return (np.int32(a) * np.int32(21845) + np.int32(10922)) >> np.int32(16)
+
+
+def dequantise_np(q, qf, qo):
+    q = np.asarray(q, dtype=np.int64)
+    mag = (np.abs(q) * qf + qo + 2) >> 2
+    return np.where(q == 0, 0, np.where(q < 0, -mag, mag)).astype(np.int64)
+
+
+def dc_predict_integrate(band: np.ndarray) -> np.ndarray:
+    """In-place DC prediction integration (schro_decoder_subband_dc_predict)."""
+    b = band.astype(np.int32)
+    h, w = b.shape
+    for i in range(1, w):
+        b[0, i] += b[0, i - 1]
+    for j in range(1, h):
+        b[j, 0] += b[j - 1, 0]
+        for i in range(1, w):
+            pred = divide3(int(b[j, i - 1]) + int(b[j - 1, i])
+                           + int(b[j - 1, i - 1]) + 1)
+            b[j, i] += pred
+    return b
+
+
+def _inverse(pyr, wavelet):
+    return wv.inverse(pyr, wavelet)
+
+
+_inverse_jit = jax.jit(_inverse, static_argnums=1)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _to_u8(plane_s16, h: int, w: int):
+    x = plane_s16[:h, :w] + 128
+    return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+
+def decode_picture(payload: bytes, params: Params):
+    """Decode low-delay slice data (after transform parameters, byte aligned).
+
+    Returns (y, u, v) uint8 numpy planes at picture sizes.
+    """
+    p = params
+    depth = p.transform_depth
+    nb = subband_count(depth)
+    ny, nx = p.n_vert_slices, p.n_horiz_slices
+    n_slices = ny * nx
+
+    # geometry
+    def band_shapes(iwt_h, iwt_w):
+        shapes = [(iwt_h >> depth, iwt_w >> depth)]
+        for i in range(1, nb):
+            shift = depth - ((i - 1) // 3)
+            shapes.append((iwt_h >> shift, iwt_w >> shift))
+        return shapes
+
+    y_shapes = band_shapes(p.iwt_luma_height, p.iwt_luma_width)
+    uv_shapes = band_shapes(p.iwt_chroma_height, p.iwt_chroma_width)
+    S_y = sum((h // ny) * (w // nx) for h, w in y_shapes)
+    S_uv = sum((h // ny) * (w // nx) for h, w in uv_shapes)
+
+    band_idx_y = np.concatenate([
+        np.full((h // ny) * (w // nx), i, dtype=np.int32)
+        for i, (h, w) in enumerate(y_shapes)])
+    band_idx_uv = np.concatenate([
+        np.full((h // ny) * (w // nx), i, dtype=np.int32)
+        for i, (h, w) in enumerate(uv_shapes)])
+    qm = np.asarray(p.quant_matrix[:nb], dtype=np.int64)
+
+    # slice byte layout
+    n_bytes = p.slice_bytes_num // p.slice_bytes_denom
+    remainder = p.slice_bytes_num % p.slice_bytes_denom
+    sbytes = np.zeros(n_slices, dtype=np.int64)
+    acc = 0
+    for i in range(n_slices):
+        acc += remainder
+        if acc >= p.slice_bytes_denom:
+            sbytes[i] = n_bytes + 1
+            acc -= p.slice_bytes_denom
+        else:
+            sbytes[i] = n_bytes
+    offsets_bytes = np.concatenate([[0], np.cumsum(sbytes)])[:-1]
+    start_bits = offsets_bytes * 8
+    end_bits = (offsets_bytes + sbytes) * 8
+    length_bits = np.array([ilog2up(8 * int(b)) for b in sbytes], dtype=np.int64)
+
+    # headers: base index (7 bits) + y length
+    hdr = vlc.LockstepDecoder(payload, start_bits, end_bits)
+    w64 = hdr._window()
+    base = (w64 >> np.uint64(57)).astype(np.int64)
+    y_len = np.zeros(n_slices, dtype=np.int64)
+    for lb in np.unique(length_bits):
+        m = length_bits == lb
+        y_len[m] = ((w64[m] >> (np.uint64(57) - np.uint64(lb)))
+                    & np.uint64((1 << int(lb)) - 1)).astype(np.int64)
+
+    # Y coefficients
+    y_off = start_bits + 7 + length_bits
+    y_lim = np.minimum(y_off + y_len, end_bits)
+    ydec = vlc.LockstepDecoder(payload, y_off, y_lim)
+    qy = np.stack([ydec.read_sints() for _ in range(S_y)], axis=1)
+
+    # UV coefficients (start after y_len bits, run to slice end)
+    uv_off = start_bits + 7 + length_bits + y_len
+    uvdec = vlc.LockstepDecoder(payload, uv_off, end_bits)
+    quv = np.stack([uvdec.read_sints() for _ in range(2 * S_uv)], axis=1)
+    qu = quv[:, 0::2]
+    qv = quv[:, 1::2]
+
+    # dequantise
+    qi_y = np.clip(base[:, None] - qm[band_idx_y][None, :], 0, 60).astype(np.int64)
+    qi_uv = np.clip(base[:, None] - qm[band_idx_uv][None, :], 0, 60).astype(np.int64)
+    dy = dequantise_np(qy, QF[qi_y], QO[qi_y]).reshape(ny, nx, S_y)
+    du = dequantise_np(qu, QF[qi_uv], QO[qi_uv]).reshape(ny, nx, S_uv)
+    dv = dequantise_np(qv, QF[qi_uv], QO[qi_uv]).reshape(ny, nx, S_uv)
+
+    # subband assembly + DC integration
+    planes = []
+    pic_sizes = [p.video_format.picture_luma_size(),
+                 p.video_format.picture_chroma_size(),
+                 p.video_format.picture_chroma_size()]
+    for data, shapes in ((dy, y_shapes), (du, uv_shapes), (dv, uv_shapes)):
+        bands = sl.from_slices(data, shapes, ny, nx)
+        bands[0] = dc_predict_integrate(bands[0])
+        bands = [np.asarray(b, dtype=np.int16) for b in bands]
+        pyr = sl.arrays_to_pyramid(
+            [jnp.asarray(b) for b in bands], depth)
+        planes.append(_inverse_jit(pyr, p.wavelet_filter_index))
+
+    out = []
+    for plane, (w_pic, h_pic) in zip(planes, pic_sizes):
+        out.append(np.asarray(_to_u8(plane, h_pic, w_pic)))
+    return tuple(out)
