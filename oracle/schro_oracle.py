@@ -329,3 +329,70 @@ def decode(stream, width, height, chroma=420):
             pass
     L.schro_decoder_free(dec)
     return frames
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic coder oracle access
+
+def arith_encode(bits_and_ctx, bufsize=1 << 20):
+    """bits_and_ctx: list of ('b', ctx, bit) / ('u', cc, vc, v) /
+    ('s', cc, vc, sc, v). Returns encoded bytes."""
+    L = lib()
+    L.schro_arith_new.restype = C.c_void_p
+    L.schro_arith_encode_init.argtypes = [C.c_void_p, C.POINTER(SchroBuffer)]
+    L.schro_arith_encode_bit.argtypes = [C.c_void_p, C.c_int, C.c_int]
+    L.schro_arith_encode_uint.argtypes = [C.c_void_p, C.c_int, C.c_int, C.c_int]
+    L.schro_arith_encode_sint.argtypes = [C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_int]
+    L.schro_arith_flush.argtypes = [C.c_void_p]
+    L.schro_arith_free.argtypes = [C.c_void_p]
+    buf = L.schro_buffer_new_and_alloc(bufsize)
+    a = L.schro_arith_new()
+    L.schro_arith_encode_init(a, buf)
+    for op in bits_and_ctx:
+        if op[0] == 'b':
+            L.schro_arith_encode_bit(a, op[1], op[2])
+        elif op[0] == 'u':
+            L.schro_arith_encode_uint(a, op[1], op[2], op[3])
+        else:
+            L.schro_arith_encode_sint(a, op[1], op[2], op[3], op[4])
+    L.schro_arith_flush(a)
+    # offset field: first pointer-size after buffer+dataptr
+    class _ArithHead(C.Structure):
+        _fields_ = [("buffer", C.c_void_p), ("dataptr", C.c_void_p),
+                    ("offset", C.c_size_t)]
+    head = C.cast(a, C.POINTER(_ArithHead)).contents
+    n = head.offset
+    out = bytes(bytearray(buf.contents.data[i] for i in range(n)))
+    L.schro_arith_free(a)
+    L.schro_buffer_unref(buf)
+    return out
+
+
+def arith_decode(data, ops):
+    """ops: list of ('b', ctx) / ('u', cc, vc) / ('s', cc, vc, sc).
+    Returns decoded values."""
+    L = lib()
+    L.schro_arith_new.restype = C.c_void_p
+    L.schro_arith_decode_init.argtypes = [C.c_void_p, C.POINTER(SchroBuffer)]
+    L.schro_arith_decode_bit.argtypes = [C.c_void_p, C.c_uint]
+    L.schro_arith_decode_bit.restype = C.c_int
+    L.schro_arith_decode_uint.argtypes = [C.c_void_p, C.c_uint, C.c_uint]
+    L.schro_arith_decode_uint.restype = C.c_int
+    L.schro_arith_decode_sint.argtypes = [C.c_void_p, C.c_uint, C.c_uint, C.c_uint]
+    L.schro_arith_decode_sint.restype = C.c_int
+    L.schro_arith_free.argtypes = [C.c_void_p]
+    arr = C.create_string_buffer(data, len(data))
+    buf = L.schro_buffer_new_with_data(C.cast(arr, C.c_void_p), len(data))
+    a = L.schro_arith_new()
+    L.schro_arith_decode_init(a, buf)
+    out = []
+    for op in ops:
+        if op[0] == 'b':
+            out.append(L.schro_arith_decode_bit(a, op[1]))
+        elif op[0] == 'u':
+            out.append(L.schro_arith_decode_uint(a, op[1], op[2]))
+        else:
+            out.append(L.schro_arith_decode_sint(a, op[1], op[2], op[3]))
+    L.schro_arith_free(a)
+    L.schro_buffer_unref(buf)
+    return out

@@ -49,8 +49,11 @@ def to_slices(arrays, ny: int, nx: int):
         r = r.swapaxes(-3, -2)          # (..., ny, nx, bh, bw)
         parts.append(r.reshape(a.shape[:-2] + (ny, nx, bh * bw)))
         band_idx.extend([i] * (bh * bw))
-    xp = np if isinstance(arrays[0], np.ndarray) else __import__("jax.numpy", fromlist=["jnp"])
-    cat = np.concatenate if isinstance(arrays[0], np.ndarray) else xp.concatenate
+    if isinstance(parts[0], np.ndarray):
+        cat = np.concatenate
+    else:
+        import jax.numpy as jnp
+        cat = jnp.concatenate
     return cat(parts, axis=-1), np.asarray(band_idx, dtype=np.int32)
 
 

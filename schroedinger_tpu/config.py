@@ -1,0 +1,166 @@
+"""Encoder settings registry.
+
+Mirrors the reference's typed settings table with identical names and
+defaults (schroencoder.c:4461-4535) so settings sweeps port 1:1. Values are
+introspectable via SETTINGS; EncoderConfig is the dataclass view.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple, Union
+
+RATE_CONTROL_MODES = [
+    "constant_noise_threshold", "constant_bitrate", "low_delay", "lossless",
+    "constant_lambda", "constant_error", "constant_quality",
+]
+GOP_STRUCTURES = [
+    "adaptive", "intra_only", "backref", "chained_backref", "biref",
+    "chained_biref",
+]
+PERCEPTUAL_WEIGHTINGS = ["none", "ccir959", "moo", "manos_sakrison"]
+FILTERINGS = ["none", "center_weighted_median", "gaussian", "add_noise",
+              "adaptive_gaussian", "lowpass"]
+PROFILES = ["auto", "vc2_low_delay", "vc2_simple", "vc2_main", "main"]
+WAVELETS = ["desl_dubuc_9_7", "le_gall_5_3", "desl_dubuc_13_7", "haar_0",
+            "haar_1", "fidelity", "daubechies_9_7"]
+BLOCK_SIZES = ["automatic", "small", "medium", "large"]
+BLOCK_OVERLAPS = ["automatic", "none", "partial", "full"]
+CODEBLOCK_SIZES = ["automatic", "small", "medium", "large", "full"]
+
+
+@dataclasses.dataclass
+class Setting:
+    name: str
+    type: str            # 'int' | 'bool' | 'double' | 'enum'
+    min: float
+    max: float
+    default: float
+    enum_list: Optional[List[str]] = None
+
+
+INT_MAX = 2 ** 31 - 1
+
+# (name, type, min, max, default, enum list) — same order as the reference.
+SETTINGS: List[Setting] = [
+    Setting("rate_control", "enum", 0, 6, 6, RATE_CONTROL_MODES),
+    Setting("bitrate", "int", 0, INT_MAX, 0),
+    Setting("max_bitrate", "int", 0, INT_MAX, 13824000),
+    Setting("min_bitrate", "int", 0, INT_MAX, 13824000),
+    Setting("buffer_size", "int", 0, INT_MAX, 0),
+    Setting("buffer_level", "int", 0, INT_MAX, 0),
+    Setting("quality", "double", 0, 10.0, 5.0),
+    Setting("noise_threshold", "double", 0, 100.0, 25.0),
+    Setting("gop_structure", "enum", 0, 5, 0, GOP_STRUCTURES),
+    Setting("queue_depth", "int", 1, 40, 20),
+    Setting("perceptual_weighting", "enum", 0, 3, 1, PERCEPTUAL_WEIGHTINGS),
+    Setting("perceptual_distance", "double", 0, 100.0, 4.0),
+    Setting("filtering", "enum", 0, 5, 0, FILTERINGS),
+    Setting("filter_value", "double", 0, 100.0, 5.0),
+    Setting("profile", "int", 0, 0, 0),
+    Setting("force_profile", "enum", 0, 4, 0, PROFILES),
+    Setting("level", "int", 0, 0, 0),
+    Setting("max_refs", "int", 1, 4, 3),
+    Setting("open_gop", "bool", 0, 1, 1),
+    Setting("au_distance", "int", 1, INT_MAX, 120),
+    Setting("enable_psnr", "bool", 0, 1, 0),
+    Setting("enable_ssim", "bool", 0, 1, 0),
+    Setting("transform_depth", "int", 0, 6, 3),
+    Setting("intra_wavelet", "enum", 0, 6, 0, WAVELETS),
+    Setting("inter_wavelet", "enum", 0, 6, 0, WAVELETS),
+    Setting("mv_precision", "int", 0, 3, 0),
+    Setting("downsample_levels", "int", 2, 8, 5),
+    Setting("motion_block_size", "enum", 0, 3, 0, BLOCK_SIZES),
+    Setting("motion_block_overlap", "enum", 0, 3, 0, BLOCK_OVERLAPS),
+    Setting("interlaced_coding", "bool", 0, 1, 0),
+    Setting("enable_internal_testing", "bool", 0, 1, 0),
+    Setting("enable_noarith", "bool", 0, 1, 0),
+    Setting("enable_md5", "bool", 0, 1, 0),
+    Setting("enable_fullscan_estimation", "bool", 0, 1, 0),
+    Setting("enable_hierarchical_estimation", "bool", 0, 1, 1),
+    Setting("enable_zero_estimation", "bool", 0, 1, 0),
+    Setting("enable_phasecorr_estimation", "bool", 0, 1, 0),
+    Setting("enable_bigblock_estimation", "bool", 0, 1, 1),
+    Setting("enable_multiquant", "bool", 0, 1, 0),
+    Setting("enable_dc_multiquant", "bool", 0, 1, 0),
+    Setting("enable_global_motion", "bool", 0, 1, 0),
+    Setting("enable_scene_change_detection", "bool", 0, 1, 1),
+    Setting("enable_deep_estimation", "bool", 0, 1, 1),
+    Setting("enable_rdo_cbr", "bool", 0, 1, 1),
+    Setting("enable_chroma_me", "bool", 0, 1, 0),
+    Setting("horiz_slices", "int", 0, INT_MAX, 0),
+    Setting("vert_slices", "int", 0, INT_MAX, 0),
+    Setting("codeblock_size", "enum", 0, 4, 0, CODEBLOCK_SIZES),
+    Setting("magic_dc_metric_offset", "double", 0.0, 1000.0, 1.0),
+    Setting("magic_subband0_lambda_scale", "double", 0.0, 1000.0, 10.0),
+    Setting("magic_chroma_lambda_scale", "double", 0.0, 1000.0, 0.1),
+    Setting("magic_nonref_lambda_scale", "double", 0.0, 1000.0, 0.01),
+    Setting("magic_me_lambda_scale", "double", 0.0, 100.0, 1.0),
+    Setting("magic_I_lambda_scale", "double", 0.0, 100.0, 1.0),
+    Setting("magic_P_lambda_scale", "double", 0.0, 10.0, 0.25),
+    Setting("magic_B_lambda_scale", "double", 0.0, 10.0, 0.01),
+    Setting("magic_allocation_scale", "double", 0.0, 1000.0, 1.1),
+    Setting("magic_inter_cpd_scale", "double", 0.0, 1.0, 1.0),
+    Setting("magic_keyframe_weight", "double", 0.0, 1000.0, 7.5),
+    Setting("magic_scene_change_threshold", "double", 0.0, 1000.0, 3.0),
+    Setting("magic_inter_p_weight", "double", 0.0, 1000.0, 1.5),
+    Setting("magic_inter_b_weight", "double", 0.0, 1000.0, 0.2),
+    Setting("magic_me_bailout_limit", "double", 0.0, 1000.0, 0.33),
+    Setting("magic_bailout_weight", "double", 0.0, 1000.0, 4.0),
+    Setting("magic_error_power", "double", 0.0, 1000.0, 4.0),
+    Setting("magic_subgroup_length", "double", 1.0, 10.0, 4.0),
+    Setting("magic_badblock_multiplier_nonref", "double", 0.0, 1000.0, 4.0),
+    Setting("magic_badblock_multiplier_ref", "double", 0.0, 1000.0, 8.0),
+    Setting("magic_block_search_threshold", "double", 0.0, 1000.0, 15.0),
+    Setting("magic_scan_distance", "double", 0.0, 1000.0, 4.0),
+    Setting("magic_diagonal_lambda_scale", "double", 0.0, 1000.0, 1.0),
+]
+
+_BY_NAME = {s.name: s for s in SETTINGS}
+
+
+def n_settings() -> int:
+    return len(SETTINGS)
+
+
+def setting_info(i: int) -> Setting:
+    return SETTINGS[i]
+
+
+@dataclasses.dataclass
+class EncoderConfig:
+    """Typed settings bag; attribute names match setting names. Enum values
+    may be given as index or name."""
+    rate_control: str = "low_delay"
+    bitrate: int = 0
+    transform_depth: int = 3
+    intra_wavelet: int = 0
+    inter_wavelet: int = 0
+    gop_structure: str = "adaptive"
+    queue_depth: int = 20
+    au_distance: int = 120
+    enable_noarith: bool = False
+    enable_md5: bool = False
+    horiz_slices: int = 0
+    vert_slices: int = 0
+    mv_precision: int = 0
+    extra: Dict[str, float] = dataclasses.field(default_factory=dict)
+
+    def set(self, name: str, value) -> None:
+        s = _BY_NAME.get(name)
+        if s is None:
+            raise KeyError(name)
+        if s.type == "enum" and isinstance(value, (int, float)):
+            value = int(value)
+            if hasattr(self, name) and isinstance(getattr(self, name, None), str):
+                value = s.enum_list[value]
+        if hasattr(self, name):
+            setattr(self, name, value)
+        else:
+            self.extra[name] = value
+
+    def get(self, name: str):
+        if hasattr(self, name):
+            return getattr(self, name)
+        if name in self.extra:
+            return self.extra[name]
+        return _BY_NAME[name].default

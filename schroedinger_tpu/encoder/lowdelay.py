@@ -72,6 +72,49 @@ def _forward(plane, depth, wavelet):
 
 _forward_jit = jax.jit(_forward, static_argnums=(1, 2))
 
+_ANALYZE_CACHE = {}
+
+
+def _params_key(p: Params):
+    return (p.iwt_luma_width, p.iwt_luma_height, p.iwt_chroma_width,
+            p.iwt_chroma_height, p.transform_depth,
+            int(p.wavelet_filter_index), p.n_horiz_slices, p.n_vert_slices,
+            tuple(p.quant_matrix[: subband_count(p.transform_depth)]))
+
+
+def _get_analyze_fn(p: Params):
+    key = _params_key(p)
+    fn = _ANALYZE_CACHE.get(key)
+    if fn is None:
+        from schroedinger_tpu.pipeline import make_lowdelay_analyze
+        fn = make_lowdelay_analyze(p)
+        _ANALYZE_CACHE[key] = fn
+    return fn
+
+
+def _band_pos_offsets(p: Params):
+    """Per-position quant matrix offsets for the slice tensors (luma, chroma)."""
+    depth = p.transform_depth
+    nb = subband_count(depth)
+    qm = np.asarray(p.quant_matrix[:nb], dtype=np.int32)
+    ny, nx = p.n_vert_slices, p.n_horiz_slices
+
+    def shapes(iwt_h, iwt_w):
+        out = [(iwt_h >> depth, iwt_w >> depth)]
+        for i in range(1, nb):
+            shift = depth - ((i - 1) // 3)
+            out.append((iwt_h >> shift, iwt_w >> shift))
+        return out
+
+    def offsets(shps):
+        idx = np.concatenate([
+            np.full((h // ny) * (w // nx), i, dtype=np.int32)
+            for i, (h, w) in enumerate(shps)])
+        return qm[idx]
+
+    return (offsets(shapes(p.iwt_luma_height, p.iwt_luma_width)),
+            offsets(shapes(p.iwt_chroma_height, p.iwt_chroma_width)))
+
 
 class DCChain:
     """Encoder-side DC prediction chain over one component's LL band.
@@ -118,51 +161,35 @@ def encode_picture(planes_u8, params: Params, frame_number: int,
     nb = subband_count(depth)
     ny, nx = p.n_vert_slices, p.n_horiz_slices
 
-    # --- transform (TPU) ---
-    iwt_dims = [(p.iwt_luma_height, p.iwt_luma_width),
-                (p.iwt_chroma_height, p.iwt_chroma_width),
-                (p.iwt_chroma_height, p.iwt_chroma_width)]
-    pyramids = []
-    for plane, (oh, ow) in zip(planes_u8, iwt_dims):
-        prepped = _prep_plane(jnp.asarray(plane), oh, ow)
-        pyramids.append(_forward_jit(prepped, depth, wavelet))
+    # --- transform + all-quant estimation (TPU, jitted & cached per params) ---
+    analyze = _get_analyze_fn(p)
+    ys, us, vs, y_agg, u_agg, v_agg = analyze(*[jnp.asarray(pl) for pl in planes_u8])
+    y_sl = np.asarray(ys)
+    u_sl = np.asarray(us)
+    v_sl = np.asarray(vs)
+    yb_bits, yb_last = (np.asarray(a, dtype=np.int64) for a in y_agg)
+    ub_bits, ub_last = (np.asarray(a, dtype=np.int64) for a in u_agg)
+    vb_bits, vb_last = (np.asarray(a, dtype=np.int64) for a in v_agg)
 
-    # --- slice-ordered tensors (host) ---
-    comp_bands = [[np.asarray(b).astype(np.int32)
-                   for b in sl.subband_arrays(pyr, depth)] for pyr in pyramids]
-    y_bands, u_bands, v_bands = comp_bands
-    y_sl, y_bidx = sl.to_slices(y_bands, ny, nx)
-    u_sl, u_bidx = sl.to_slices(u_bands, ny, nx)
-    v_sl, _ = sl.to_slices(v_bands, ny, nx)
     S_y = y_sl.shape[-1]
     S_uv = u_sl.shape[-1]
-    dcs_y = (y_bands[0].shape[0] // ny) * (y_bands[0].shape[1] // nx)
-    dcs_uv = (u_bands[0].shape[0] // ny) * (u_bands[0].shape[1] // nx)
-
+    # DC (subband 0) geometry + per-position quant offsets
+    llh_y0 = p.iwt_luma_height >> depth
+    llw_y0 = p.iwt_luma_width >> depth
+    llh_uv0 = p.iwt_chroma_height >> depth
+    llw_uv0 = p.iwt_chroma_width >> depth
+    dcs_y = (llh_y0 // ny) * (llw_y0 // nx)
+    dcs_uv = (llh_uv0 // ny) * (llw_uv0 // nx)
     qm = np.asarray(p.quant_matrix[:nb], dtype=np.int32)
-    y_qmo = qm[y_bidx]
-    uv_qmo = qm[u_bidx]
+    y_qmo, uv_qmo = _band_pos_offsets(p)
 
-    # --- per-base aggregates for non-DC coefficients (vectorized) ---
-    # For each base 0..60: bits and last-nonzero of the non-DC segment.
-    def band_aggregates(slc, qmo, dcs):
-        nd = slc[..., dcs:].astype(np.int64)         # (ny, nx, S-dcs)
-        qmo_nd = qmo[dcs:]
-        bits = np.zeros((61, ny, nx), dtype=np.int64)
-        lastnz = np.full((61, ny, nx), -1, dtype=np.int64)
-        pos = np.arange(nd.shape[-1], dtype=np.int64)
-        for base in range(61):
-            qi = np.clip(base - qmo_nd, 0, 60)
-            q = quantise_np(nd, QF[qi], QO[qi])
-            bits[base] = vlc.sint_bits(q).sum(axis=-1)
-            nzmask = q != 0
-            lastnz[base] = np.where(nzmask.any(-1),
-                                    np.where(nzmask, pos, -1).max(-1), -1)
-        return bits, lastnz
-
-    yb_bits, yb_last = band_aggregates(y_sl, y_qmo, dcs_y)
-    ub_bits, ub_last = band_aggregates(u_sl, uv_qmo, dcs_uv)
-    vb_bits, vb_last = band_aggregates(v_sl, uv_qmo, dcs_uv)
+    # LL bands for the DC chains (recover from the slice tensors)
+    y_bands0 = sl.from_slices(y_sl[..., :dcs_y], [(llh_y0, llw_y0)], ny, nx)[0]
+    u_bands0 = sl.from_slices(u_sl[..., :dcs_uv], [(llh_uv0, llw_uv0)], ny, nx)[0]
+    v_bands0 = sl.from_slices(v_sl[..., :dcs_uv], [(llh_uv0, llw_uv0)], ny, nx)[0]
+    y_bands = {0: y_bands0}
+    u_bands = {0: u_bands0}
+    v_bands = {0: v_bands0}
 
     # --- slice byte budget ---
     n_bytes = p.slice_bytes_num // p.slice_bytes_denom

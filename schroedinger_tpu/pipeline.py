@@ -1,0 +1,132 @@
+"""Jitted TPU compute pipelines for the encoder.
+
+`make_lowdelay_analyze(...)` builds the fully-jitted per-frame TPU program
+for low-delay encoding: DC-offset removal, edge extension, multi-level IWT,
+slice reordering, dead-zone quantisation at every candidate base index, and
+per-slice bit/last-nonzero aggregates. The host only runs the tiny per-slice
+quant-index search and DC chains on the returned aggregates.
+
+Also provides the sharded multi-frame training-step analog used by
+`__graft_entry__.dryrun_multichip`: frames-within-GOP data parallelism over a
+`jax.sharding.Mesh` ('frame' axis), the codec's equivalent of dp.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from schroedinger_tpu import tables
+from schroedinger_tpu.coding import slices as sl
+from schroedinger_tpu.ops import quant as q
+from schroedinger_tpu.ops import wavelet as wv
+from schroedinger_tpu.params import Params, subband_count
+
+
+def _sint_bits_jnp(v):
+    """Encoded sint VLC bit length (vectorized, jnp). v int32."""
+    m = jnp.abs(v.astype(jnp.int32))
+    n = 32 - jax.lax.clz(m + 1)
+    return 2 * n - 1 + (m != 0)
+
+
+def make_lowdelay_analyze(p: Params):
+    """Returns jitted fn(y_u8, u_u8, v_u8) ->
+    (y_slices, u_slices, v_slices, per-base aggregates...).
+
+    All shapes/static config are closed over; the function is pure and
+    jit-compiled once per video format.
+    """
+    depth = p.transform_depth
+    wavelet = p.wavelet_filter_index
+    ny, nx = p.n_vert_slices, p.n_horiz_slices
+    nb = subband_count(depth)
+    qm = np.asarray(p.quant_matrix[:nb], dtype=np.int32)
+    iwt_dims = [(p.iwt_luma_height, p.iwt_luma_width),
+                (p.iwt_chroma_height, p.iwt_chroma_width),
+                (p.iwt_chroma_height, p.iwt_chroma_width)]
+
+    QF = jnp.asarray(tables.QUANT_FACTOR, jnp.int32)
+    QO = jnp.asarray(tables.QUANT_OFFSET_1_2, jnp.int32)
+
+    def prep_and_slice(plane, oh, ow):
+        x = plane.astype(jnp.int16) - 128
+        h, w = x.shape
+        x = jnp.pad(x, ((0, oh - h), (0, ow - w)), mode="edge")
+        pyr = wv.forward(x, depth, wavelet)
+        bands = sl.subband_arrays(pyr, depth)
+        bands = [b.astype(jnp.int32) for b in bands]
+        sliced, bidx = sl.to_slices(bands, ny, nx)
+        return sliced, bidx
+
+    def aggregates(sliced, qmo, dcs):
+        """Per-base (61) bits + last-nonzero over the non-DC segment."""
+        nd = sliced[..., dcs:]
+        qmo_nd = jnp.asarray(qmo[dcs:])
+        pos = jnp.arange(nd.shape[-1], dtype=jnp.int32)
+
+        def per_base(base):
+            qi = jnp.clip(base - qmo_nd, 0, 60)
+            qq = q.quantise(nd, QF[qi], QO[qi])
+            bits = _sint_bits_jnp(qq).sum(axis=-1)
+            nz = qq != 0
+            lastnz = jnp.where(nz.any(-1),
+                               jnp.where(nz, pos, -1).max(-1), -1)
+            return bits.astype(jnp.int32), lastnz.astype(jnp.int32)
+
+        return jax.lax.map(per_base, jnp.arange(61, dtype=jnp.int32))
+
+    def analyze(y, u, v):
+        outs = []
+        for plane, (oh, ow) in zip((y, u, v), iwt_dims):
+            sliced, bidx = prep_and_slice(plane, oh, ow)
+            outs.append((sliced, bidx))
+        (ys, ybi), (us, ubi), (vs, _) = outs
+        dcs_y = int(np.sum(ybi == 0))
+        dcs_uv = int(np.sum(ubi == 0))
+        y_agg = aggregates(ys, qm[ybi], dcs_y)
+        u_agg = aggregates(us, qm[ubi], dcs_uv)
+        v_agg = aggregates(vs, qm[ubi], dcs_uv)
+        return ys, us, vs, y_agg, u_agg, v_agg
+
+    return jax.jit(analyze)
+
+
+def make_frame_parallel_step(p: Params, mesh: Mesh, axis: str = "frame"):
+    """Sharded multi-frame low-delay analysis step: a batch of frames is
+    sharded across `axis`; each device transforms + quantises its frames and
+    the total coded-bit estimate is psum'd. This is the dp axis of the codec
+    (frames within a GOP are independent in low-delay/intra profiles)."""
+    depth = p.transform_depth
+    wavelet = p.wavelet_filter_index
+    ny, nx = p.n_vert_slices, p.n_horiz_slices
+    nb = subband_count(depth)
+    qm = np.asarray(p.quant_matrix[:nb], dtype=np.int32)
+    QF = jnp.asarray(tables.QUANT_FACTOR, jnp.int32)
+    QO = jnp.asarray(tables.QUANT_OFFSET_1_2, jnp.int32)
+    oh, ow = p.iwt_luma_height, p.iwt_luma_width
+
+    def per_frame(y):
+        x = y.astype(jnp.int16) - 128
+        h, w = x.shape
+        x = jnp.pad(x, ((0, oh - h), (0, ow - w)), mode="edge")
+        pyr = wv.forward(x, depth, wavelet)
+        bands = sl.subband_arrays(pyr, depth)
+        sliced, bidx = sl.to_slices([b.astype(jnp.int32) for b in bands], ny, nx)
+        qi = jnp.clip(16 - jnp.asarray(qm[bidx]), 0, 60)
+        qq = q.quantise(sliced, QF[qi], QO[qi])
+        return _sint_bits_jnp(qq).sum()
+
+    def step(batch):
+        bits = jax.vmap(per_frame)(batch)
+        return jax.lax.psum(bits.sum(), axis)
+
+    from jax.experimental.shard_map import shard_map
+    return jax.jit(shard_map(step, mesh=mesh,
+                             in_specs=P(axis, None, None),
+                             out_specs=P()))
