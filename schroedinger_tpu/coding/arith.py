@@ -80,30 +80,42 @@ CTX_MV_REF2_V_CONT_BIN2 = 62
 CTX_MV_REF2_V_CONT_BIN3 = 63
 CTX_MV_REF2_V_CONT_BIN4 = 64
 CTX_MV_REF2_V_CONT_BIN5 = 65
-CTX_MV_REF2_V_SIGN = 66
-CTX_LAST = 67
+CTX_MV_REF2_V_VALUE = 66
+CTX_MV_REF2_V_SIGN = 67
+CTX_LAST = 68
 
 # Context chaining for uint coding (schroarith.c:14-88 next_list)
-NEXT = [
-    0, CTX_QUANTISER_CONT, 0, 0,
-    CTX_ZP_F2, CTX_ZP_F2, CTX_ZP_F3, CTX_ZP_F4, CTX_ZP_F5, CTX_ZP_F6p,
-    CTX_ZP_F6p,
-    CTX_NP_F2, CTX_NP_F2, CTX_NP_F3, CTX_NP_F4, CTX_NP_F5, CTX_NP_F6p,
-    CTX_NP_F6p,
-    0, 0, 0, 0,
-    CTX_SB_F2, CTX_SB_F2, 0, 0, 0, 0,
-    CTX_LUMA_DC_CONT_BIN2, CTX_LUMA_DC_CONT_BIN2, 0, 0,
-    CTX_CHROMA1_DC_CONT_BIN2, CTX_CHROMA1_DC_CONT_BIN2, 0, 0,
-    CTX_CHROMA2_DC_CONT_BIN2, CTX_CHROMA2_DC_CONT_BIN2, 0, 0,
-    CTX_MV_REF1_H_CONT_BIN2, CTX_MV_REF1_H_CONT_BIN3, CTX_MV_REF1_H_CONT_BIN4,
-    CTX_MV_REF1_H_CONT_BIN5, CTX_MV_REF1_H_CONT_BIN5, 0, 0,
-    CTX_MV_REF1_V_CONT_BIN2, CTX_MV_REF1_V_CONT_BIN3, CTX_MV_REF1_V_CONT_BIN4,
-    CTX_MV_REF1_V_CONT_BIN5, CTX_MV_REF1_V_CONT_BIN5, 0, 0,
-    CTX_MV_REF2_H_CONT_BIN2, CTX_MV_REF2_H_CONT_BIN3, CTX_MV_REF2_H_CONT_BIN4,
-    CTX_MV_REF2_H_CONT_BIN5, CTX_MV_REF2_H_CONT_BIN5, 0, 0,
-    CTX_MV_REF2_V_CONT_BIN2, CTX_MV_REF2_V_CONT_BIN3, CTX_MV_REF2_V_CONT_BIN4,
-    CTX_MV_REF2_V_CONT_BIN5, CTX_MV_REF2_V_CONT_BIN5, 0, 0, 0,
-]
+NEXT = [0] * CTX_LAST
+NEXT[CTX_QUANTISER_CONT] = CTX_QUANTISER_CONT
+NEXT[CTX_ZPZN_F1] = CTX_ZP_F2
+NEXT[CTX_ZPNN_F1] = CTX_ZP_F2
+NEXT[CTX_ZP_F2] = CTX_ZP_F3
+NEXT[CTX_ZP_F3] = CTX_ZP_F4
+NEXT[CTX_ZP_F4] = CTX_ZP_F5
+NEXT[CTX_ZP_F5] = CTX_ZP_F6p
+NEXT[CTX_ZP_F6p] = CTX_ZP_F6p
+NEXT[CTX_NPZN_F1] = CTX_NP_F2
+NEXT[CTX_NPNN_F1] = CTX_NP_F2
+NEXT[CTX_NP_F2] = CTX_NP_F3
+NEXT[CTX_NP_F3] = CTX_NP_F4
+NEXT[CTX_NP_F4] = CTX_NP_F5
+NEXT[CTX_NP_F5] = CTX_NP_F6p
+NEXT[CTX_NP_F6p] = CTX_NP_F6p
+NEXT[CTX_SB_F1] = CTX_SB_F2
+NEXT[CTX_SB_F2] = CTX_SB_F2
+NEXT[CTX_LUMA_DC_CONT_BIN1] = CTX_LUMA_DC_CONT_BIN2
+NEXT[CTX_LUMA_DC_CONT_BIN2] = CTX_LUMA_DC_CONT_BIN2
+NEXT[CTX_CHROMA1_DC_CONT_BIN1] = CTX_CHROMA1_DC_CONT_BIN2
+NEXT[CTX_CHROMA1_DC_CONT_BIN2] = CTX_CHROMA1_DC_CONT_BIN2
+NEXT[CTX_CHROMA2_DC_CONT_BIN1] = CTX_CHROMA2_DC_CONT_BIN2
+NEXT[CTX_CHROMA2_DC_CONT_BIN2] = CTX_CHROMA2_DC_CONT_BIN2
+for _base in (CTX_MV_REF1_H_CONT_BIN1, CTX_MV_REF1_V_CONT_BIN1,
+              CTX_MV_REF2_H_CONT_BIN1, CTX_MV_REF2_V_CONT_BIN1):
+    NEXT[_base] = _base + 1
+    NEXT[_base + 1] = _base + 2
+    NEXT[_base + 2] = _base + 3
+    NEXT[_base + 3] = _base + 4
+    NEXT[_base + 4] = _base + 4
 
 # Probability adaptation LUT (schroarith.c:90-122):
 # window = 16 @ p0=0.5 scaling to 256 @ p=1.0

@@ -17,6 +17,11 @@ from schroedinger_tpu.coding import vlc
 from schroedinger_tpu.ops import wavelet as wv
 from schroedinger_tpu.params import Params, subband_count
 
+try:
+    from schroedinger_tpu.coding import native as _native
+except Exception:  # pragma: no cover
+    _native = None
+
 QF = tables.QUANT_FACTOR.astype(np.int64)
 QO = tables.QUANT_OFFSET_1_2.astype(np.int64)
 
@@ -37,6 +42,8 @@ def dequantise_np(q, qf, qo):
 
 def dc_predict_integrate(band: np.ndarray) -> np.ndarray:
     """In-place DC prediction integration (schro_decoder_subband_dc_predict)."""
+    if _native is not None:
+        return _native.dc_predict_integrate(band)
     b = band.astype(np.int32)
     h, w = b.shape
     for i in range(1, w):
@@ -115,6 +122,15 @@ def decode_picture(payload: bytes, params: Params):
     end_bits = (offsets_bytes + sbytes) * 8
     length_bits = np.array([ilog2up(8 * int(b)) for b in sbytes], dtype=np.int64)
 
+    if _native is not None:
+        qm_i32 = qm.astype(np.int32)
+        dy3, du3, dv3, _bases = _native.ld_decode(
+            payload, qm_i32[band_idx_y], qm_i32[band_idx_uv],
+            ny, nx, S_y, S_uv, sbytes)
+        dy, du, dv = (dy3.astype(np.int64), du3.astype(np.int64),
+                      dv3.astype(np.int64))
+        return _finish(dy, du, dv, p, y_shapes, uv_shapes, ny, nx)
+
     # headers: base index (7 bits) + y length
     hdr = vlc.LockstepDecoder(payload, start_bits, end_bits)
     w64 = hdr._window()
@@ -145,7 +161,12 @@ def decode_picture(payload: bytes, params: Params):
     du = dequantise_np(qu, QF[qi_uv], QO[qi_uv]).reshape(ny, nx, S_uv)
     dv = dequantise_np(qv, QF[qi_uv], QO[qi_uv]).reshape(ny, nx, S_uv)
 
-    # subband assembly + DC integration
+    return _finish(dy, du, dv, p, y_shapes, uv_shapes, ny, nx)
+
+
+def _finish(dy, du, dv, p: Params, y_shapes, uv_shapes, ny, nx):
+    """Subband assembly, DC integration, inverse wavelet, u8 conversion."""
+    depth = p.transform_depth
     planes = []
     pic_sizes = [p.video_format.picture_luma_size(),
                  p.video_format.picture_chroma_size(),

@@ -1,0 +1,96 @@
+"""Dirac intra (main-intra / simple) picture encoder.
+
+Structure (schroencoder.c schro_encoder_encode_picture, :2463-2643, intra
+path): parse info + picture header + transform parameters + per-subband
+coded data (arith or no-arith). The wavelet transform runs on TPU; subband
+quantisation with per-codeblock quant indices and the entropy coding run on
+the host (native C++ fast path, Python reference fallback).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from schroedinger_tpu.bitstream import (BitWriter, parse_code_picture,
+                                        write_parse_info, write_picture_header,
+                                        write_transform_parameters)
+from schroedinger_tpu.coding import slices as sl
+from schroedinger_tpu.coding import subband as sb
+from schroedinger_tpu.coding.bitio import BitWriter as _BW
+from schroedinger_tpu.encoder.lowdelay import _prep_plane, _forward_jit
+from schroedinger_tpu.params import (Params, subband_count, subband_info,
+                                     subband_position)
+
+
+def _codeblock_counts(p: Params, index: int):
+    position = subband_position(index)
+    if index == 0:
+        return p.horiz_codeblocks[0], p.vert_codeblocks[0]
+    level = position >> 2
+    return p.horiz_codeblocks[level + 1], p.vert_codeblocks[level + 1]
+
+
+def encode_picture(planes_u8, p: Params, frame_number: int,
+                   quant_indices=None, is_ref: bool = False,
+                   retired: int | None = None) -> bytes:
+    """Encode one intra picture; quant_indices: either None (all zero:
+    lossless), an int, or a map (component, subband) -> (vcb, hcb) array."""
+    depth = p.transform_depth
+    nb = subband_count(depth)
+    iwt_dims = [(p.iwt_luma_height, p.iwt_luma_width),
+                (p.iwt_chroma_height, p.iwt_chroma_width),
+                (p.iwt_chroma_height, p.iwt_chroma_width)]
+
+    w = BitWriter()
+    code = parse_code_picture(is_ref, 0, False, p.is_noarith)
+    write_parse_info(w, code)
+    retired_delta = None
+    if is_ref:
+        retired_delta = 0 if retired is None else retired - frame_number
+    write_picture_header(w, frame_number, retired_delta=retired_delta)
+    w.sync()
+    write_transform_parameters(w, p)
+    w.sync()
+
+    for comp, (plane, (oh, ow)) in enumerate(zip(planes_u8, iwt_dims)):
+        prepped = _prep_plane(jnp.asarray(plane), oh, ow)
+        pyr = _forward_jit(prepped, depth, p.wavelet_filter_index)
+        bands = [np.asarray(b, dtype=np.int64)
+                 for b in sl.subband_arrays(pyr, depth)]
+
+        deq_bands = [None] * nb
+        for index in range(nb):
+            hcb, vcb = _codeblock_counts(p, index)
+            position = subband_position(index)
+            if quant_indices is None:
+                qi_arr = np.zeros((vcb, hcb), dtype=np.int32)
+            elif np.isscalar(quant_indices):
+                qi_arr = np.full((vcb, hcb), int(quant_indices), np.int32)
+            else:
+                qi_arr = np.asarray(quant_indices[(comp, index)], np.int32)
+
+            qdata, deq = sb.quantise_subband(
+                bands[index], qi_arr, position, hcb, vcb,
+                is_intra=(p.num_refs == 0))
+            deq_bands[index] = deq
+
+            w.sync()
+            if not np.any(qdata):
+                w.write_uint(0)
+                continue
+
+            parent_deq = deq_bands[index - 3] if position >= 4 else None
+            have_qo = p.codeblock_mode_index == 1
+            payload, first_qi = sb.encode_subband_arith(
+                qdata, parent_deq, position, hcb, vcb, have_qo, qi_arr)
+            w.write_uint(len(payload))
+            if first_qi == -1:
+                first_qi = int(qi_arr[0, 0])
+            if len(payload) > 0:
+                w.write_uint(first_qi)
+                w.sync()
+                for byte in payload:
+                    w.write_bits(8, byte)
+    w.sync()
+    return w.get_bytes()

@@ -149,6 +149,79 @@ class DCChain:
         return out
 
 
+try:
+    from schroedinger_tpu.coding import native as _native
+except Exception:  # pragma: no cover
+    _native = None
+
+_TRANSFORM_CACHE = {}
+
+
+def _get_transform_fn(p: Params):
+    key = _params_key(p)
+    fn = _TRANSFORM_CACHE.get(key)
+    if fn is None:
+        from schroedinger_tpu.pipeline import make_lowdelay_transform
+        fn = make_lowdelay_transform(p)
+        _TRANSFORM_CACHE[key] = fn
+    return fn
+
+
+def _slice_bytes_array(p: Params):
+    n_slices = p.n_vert_slices * p.n_horiz_slices
+    n_bytes = p.slice_bytes_num // p.slice_bytes_denom
+    remainder = p.slice_bytes_num % p.slice_bytes_denom
+    out = np.zeros(n_slices, dtype=np.int64)
+    acc = 0
+    for i in range(n_slices):
+        acc += remainder
+        if acc >= p.slice_bytes_denom:
+            out[i] = n_bytes + 1
+            acc -= p.slice_bytes_denom
+        else:
+            out[i] = n_bytes
+    return out
+
+
+def _picture_headers(p: Params, frame_number: int, is_ref: bool) -> bytes:
+    w = BitWriter()
+    code = parse_code_picture(is_ref, 0, True, False)
+    write_parse_info(w, code)
+    write_picture_header(w, frame_number,
+                         retired_delta=0 if is_ref else None)
+    w.sync()
+    write_transform_parameters(w, p)
+    w.sync()
+    return w.get_bytes()
+
+
+def _encode_picture_native(planes_u8, p: Params, frame_number: int,
+                           is_ref: bool) -> bytes:
+    """Fast path: TPU transform+slicing, native C++ search + packing."""
+    depth = p.transform_depth
+    ny, nx = p.n_vert_slices, p.n_horiz_slices
+    transform = _get_transform_fn(p)
+    ys, us, vs = transform(*[jnp.asarray(pl) for pl in planes_u8])
+    y_sl = np.asarray(ys)
+    u_sl = np.asarray(us)
+    v_sl = np.asarray(vs)
+
+    llh_y, llw_y = p.iwt_luma_height >> depth, p.iwt_luma_width >> depth
+    llh_uv, llw_uv = p.iwt_chroma_height >> depth, p.iwt_chroma_width >> depth
+    dcs_y = (llh_y // ny) * (llw_y // nx)
+    dcs_uv = (llh_uv // ny) * (llw_uv // nx)
+    y_ll = sl.from_slices(y_sl[..., :dcs_y], [(llh_y, llw_y)], ny, nx)[0]
+    u_ll = sl.from_slices(u_sl[..., :dcs_uv], [(llh_uv, llw_uv)], ny, nx)[0]
+    v_ll = sl.from_slices(v_sl[..., :dcs_uv], [(llh_uv, llw_uv)], ny, nx)[0]
+
+    y_qmo, uv_qmo = _band_pos_offsets(p)
+    payload, _bases = _native.ld_encode(
+        y_sl, u_sl, v_sl, y_qmo, uv_qmo, ny, nx,
+        llh_y // ny, llw_y // nx, llh_uv // ny, llw_uv // nx,
+        y_ll, u_ll, v_ll, int(p.quant_matrix[0]), _slice_bytes_array(p))
+    return _picture_headers(p, frame_number, is_ref) + payload
+
+
 def encode_picture(planes_u8, params: Params, frame_number: int,
                    is_ref: bool = False) -> bytes:
     """Encode one low-delay intra picture; returns a parse unit (offsets 0).
@@ -156,6 +229,8 @@ def encode_picture(planes_u8, params: Params, frame_number: int,
     planes_u8: (y, u, v) numpy uint8 arrays at picture sizes.
     """
     p = params
+    if _native is not None:
+        return _encode_picture_native(planes_u8, p, frame_number, is_ref)
     depth = p.transform_depth
     wavelet = p.wavelet_filter_index
     nb = subband_count(depth)

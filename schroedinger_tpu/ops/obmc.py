@@ -1,0 +1,271 @@
+"""OBMC motion compensation + half-pel upsampling, TPU-first.
+
+Semantics are bit-exact with the reference's scalar renderer
+(schromotionref.c) and upsampler (schroframe.c:1514-1680, 2001-2029):
+
+- upsample: 8-tap {-1,3,-7,21,21,-7,3,-1}, (x+16)>>5, clamp 0..255, edge
+  clamped taps; half-pel planes H0 (orig), H1 (horiz), H2 (vert),
+  H3 (horiz of vert); last row/col copy rules per mc_edgeextend usage.
+- pixel fetch at precision p: prec0 nearest with clamp; prec1 half-pel
+  plane select with clamp to [0, 2w-2]; prec2/3 bilinear between half-pel
+  samples with /16 round.
+- OBMC: per-pixel sum of up to 4 block contributions weighted by the
+  raised-ramp wx*wy (6-bit), ROUND_SHIFT 6; DC blocks contribute dc+128;
+  ref blocks weighted by picture weights with ref_weight_precision shift.
+
+The vectorized formulation splits blocks into 2x2 parity groups (disjoint
+patches within a group since xblen <= 2*xbsep) and scatter-adds four dense
+canvases — no serial loops, fully jittable.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+UP_TAPS = jnp.asarray([-1, 3, -7, 21, 21, -7, 3, -1], jnp.int32)
+
+
+def _conv8_edge(x, axis):
+    """8-tap filter at half positions along axis with clamped taps.
+
+    out[i] = clamp((sum_j taps[j] * x[clamp(i + j - 3)] + 16) >> 5, 0, 255)
+    """
+    n = x.shape[axis]
+    acc = jnp.zeros(x.shape, jnp.int32)
+    for j in range(8):
+        idx = jnp.clip(jnp.arange(n) + (j - 3), 0, n - 1)
+        acc = acc + jnp.take(x, idx, axis=axis).astype(jnp.int32) * UP_TAPS[j]
+    return jnp.clip((acc + 16) >> 5, 0, 255).astype(jnp.uint8)
+
+
+def upsample_plane(p):
+    """u8 plane -> (H0, H1, H2, H3) half-pel planes (reference semantics)."""
+    h, w = p.shape
+    h0 = p
+    # vertical half: rows 0..h-2 filtered, last row = source last row
+    h2 = _conv8_edge(p, 0)
+    h2 = h2.at[h - 1, :].set(p[h - 1, :])
+    # horizontal half of H0: last col = source last col
+    h1 = _conv8_edge(p, 1)
+    h1 = h1.at[:, w - 1].set(p[:, w - 1])
+    # horizontal half of H2; last col = H2 last col; last row = H1 last row
+    h3 = _conv8_edge(h2, 1)
+    h3 = h3.at[:, w - 1].set(h2[:, w - 1])
+    h3 = h3.at[h - 1, :].set(h1[h - 1, :])
+    return h0, h1, h2, h3
+
+
+def make_halfpel(planes):
+    """Stack the 4 half-pel planes into one (2h, 2w) interleaved array:
+    up[2y + (i>>1), 2x + (i&1)] = plane_i[y, x]."""
+    h0, h1, h2, h3 = planes
+    h, w = h0.shape
+    up = jnp.zeros((2 * h, 2 * w), h0.dtype)
+    up = up.at[0::2, 0::2].set(h0)
+    up = up.at[0::2, 1::2].set(h1)
+    up = up.at[1::2, 0::2].set(h2)
+    up = up.at[1::2, 1::2].set(h3)
+    return up
+
+
+def upsample_frame_np(p):
+    """numpy version of upsample_plane for the host/reference path."""
+    taps = np.array([-1, 3, -7, 21, 21, -7, 3, -1], np.int32)
+
+    def conv8(x, axis):
+        n = x.shape[axis]
+        acc = np.zeros(x.shape, np.int32)
+        for j in range(8):
+            idx = np.clip(np.arange(n) + (j - 3), 0, n - 1)
+            acc += np.take(x, idx, axis=axis).astype(np.int32) * taps[j]
+        return np.clip((acc + 16) >> 5, 0, 255).astype(np.uint8)
+
+    h, w = p.shape
+    h0 = p
+    h2 = conv8(p, 0)
+    h2[h - 1, :] = p[h - 1, :]
+    h1 = conv8(p, 1)
+    h1[:, w - 1] = p[:, w - 1]
+    h3 = conv8(h2, 1)
+    h3[:, w - 1] = h2[:, w - 1]
+    h3[h - 1, :] = h1[h - 1, :]
+    up = np.zeros((2 * h, 2 * w), p.dtype)
+    up[0::2, 0::2] = h0
+    up[0::2, 1::2] = h1
+    up[1::2, 0::2] = h2
+    up[1::2, 1::2] = h3
+    return up
+
+
+def _ramp_weights(blen, offset):
+    """1-D OBMC ramp weights for one block (length blen), 6-bit half.
+
+    get_ramp(x, offset) on the leading edge, mirrored on the trailing edge,
+    8 in the middle (schromotionref.c:160-168, 185-209)."""
+    def get_ramp(x, off):
+        if off == 1:
+            return 3 if x == 0 else 5
+        return 1 + (6 * x + off - 1) // (2 * off - 1)
+
+    w = np.full(blen, 8, np.int32)
+    if offset > 0:
+        for x in range(2 * offset):
+            w[x] = get_ramp(x, offset)
+            w[blen - 1 - x] = get_ramp(x, offset)
+    return w
+
+
+def obmc_weight_grids(x_num_blocks, y_num_blocks, xblen, yblen, xbsep, ybsep,
+                      width, height):
+    """Per-block (yblen, xblen) weight grids as a (yb, xb, yblen, xblen)
+    numpy array, including the picture-edge wx=8/wy=8 overrides."""
+    xoffset = (xblen - xbsep) // 2
+    yoffset = (yblen - ybsep) // 2
+    wx_base = _ramp_weights(xblen, xoffset)
+    wy_base = _ramp_weights(yblen, yoffset)
+    full_w = xbsep * x_num_blocks
+    full_h = ybsep * y_num_blocks
+
+    W = np.zeros((y_num_blocks, x_num_blocks, yblen, xblen), np.int32)
+    for j in range(y_num_blocks):
+        ymin = j * ybsep - yoffset
+        wy = wy_base.copy()
+        for t in range(yblen):
+            y = ymin + t
+            if yoffset == 0 or y < yoffset or y >= full_h - yoffset:
+                wy[t] = 8
+        for i in range(x_num_blocks):
+            xmin = i * xbsep - xoffset
+            wx = wx_base.copy()
+            for t in range(xblen):
+                x = xmin + t
+                if xoffset == 0 or x < xoffset or x >= full_w - xoffset:
+                    wx[t] = 8
+            W[j, i] = wy[:, None] * wx[None, :]
+    return W
+
+
+def fetch_block(up, mv_precision, px0, py0, blen_y, blen_x):
+    """Sample a (blen_y, blen_x) patch from interleaved half-pel plane `up`
+    at sub-pel origin (px0, py0) in units of 1/2^prec pel.
+
+    Matches schro_upsampled_frame_get_pixel_precN semantics:
+    prec 0: nearest (clamp); prec 1: half-pel (clamp to 2w-2);
+    prec 2/3: bilinear of half-pel with 1/4 or... prec2 maps x<<1 to prec3.
+    """
+    h2, w2 = up.shape  # 2h x 2w
+    ys = py0 + jnp.arange(blen_y) * (1 << mv_precision)
+    xs = px0 + jnp.arange(blen_x) * (1 << mv_precision)
+
+    if mv_precision == 0:
+        yy = jnp.clip(ys, 0, h2 // 2 - 1)
+        xx = jnp.clip(xs, 0, w2 // 2 - 1)
+        return up[2 * yy[:, None], 2 * xx[None, :]].astype(jnp.int32)
+    if mv_precision == 1:
+        yy = jnp.clip(ys, 0, h2 - 2)
+        xx = jnp.clip(xs, 0, w2 - 2)
+        return up[yy[:, None], xx[None, :]].astype(jnp.int32)
+
+    # prec 2 -> scale to prec 3
+    if mv_precision == 2:
+        ys = ys << 1
+        xs = xs << 1
+    hy = ys >> 2
+    hx = xs >> 2
+    ry = (ys & 3)[:, None]
+    rx = (xs & 3)[None, :]
+    c_y0 = jnp.clip(hy, 0, h2 - 2)
+    c_x0 = jnp.clip(hx, 0, w2 - 2)
+    c_y1 = jnp.clip(hy + 1, 0, h2 - 2)
+    c_x1 = jnp.clip(hx + 1, 0, w2 - 2)
+    p00 = up[c_y0[:, None], c_x0[None, :]].astype(jnp.int32)
+    p01 = up[c_y0[:, None], c_x1[None, :]].astype(jnp.int32)
+    p10 = up[c_y1[:, None], c_x0[None, :]].astype(jnp.int32)
+    p11 = up[c_y1[:, None], c_x1[None, :]].astype(jnp.int32)
+    v = ((4 - ry) * (4 - rx) * p00 + (4 - ry) * rx * p01
+         + ry * (4 - rx) * p10 + ry * rx * p11)
+    return (v + 8) >> 4
+
+
+def render_component(mv_dx, mv_dy, mv_dx2, mv_dy2, pred_mode, dc,
+                     up1, up2, weights,
+                     xblen, yblen, xbsep, ybsep, mv_precision,
+                     ref1_weight, ref2_weight, ref_weight_precision,
+                     out_h, out_w, h_shift=0, v_shift=0):
+    """Render one component's OBMC prediction (s16, already offset -128).
+
+    mv_*: (yb, xb) int32 per-block luma-scaled MVs (chroma shift applied
+    here); pred_mode: (yb, xb); dc: (yb, xb) per-component dc values;
+    up1/up2: interleaved half-pel reference planes ((2h,2w) u8) or None;
+    weights: (yb, xb, yblen, xblen) from obmc_weight_grids.
+    Returns (out_h, out_w) int32 = clamp(pred, 0, 255) - 128.
+    """
+    yb, xb = pred_mode.shape
+    xoffset = (xblen - xbsep) // 2
+    yoffset = (yblen - ybsep) // 2
+
+    dx1 = mv_dx >> h_shift if h_shift else mv_dx
+    dy1 = mv_dy >> v_shift if v_shift else mv_dy
+    dx2 = mv_dx2 >> h_shift if h_shift else mv_dx2
+    dy2 = mv_dy2 >> v_shift if v_shift else mv_dy2
+
+    bx0 = (jnp.arange(xb) * xbsep - xoffset)
+    by0 = (jnp.arange(yb) * ybsep - yoffset)
+
+    def block_patch(j, i):
+        """Weighted prediction patch for block (j, i)."""
+        px1 = ((bx0[i] << mv_precision) + dx1[j, i])
+        py1 = ((by0[j] << mv_precision) + dy1[j, i])
+        px2 = ((bx0[i] << mv_precision) + dx2[j, i])
+        py2 = ((by0[j] << mv_precision) + dy2[j, i])
+        mode = pred_mode[j, i]
+
+        p1 = fetch_block(up1, mv_precision, px1, py1, yblen, xblen) \
+            if up1 is not None else jnp.zeros((yblen, xblen), jnp.int32)
+        p2 = fetch_block(up2, mv_precision, px2, py2, yblen, xblen) \
+            if up2 is not None else jnp.zeros((yblen, xblen), jnp.int32)
+
+        wsum = ref1_weight + ref2_weight
+        half = (1 << ref_weight_precision) >> 1
+        v_dc = dc[j, i] + 128
+        v_ref1 = (wsum * p1 + half) >> ref_weight_precision
+        v_ref2 = (wsum * p2 + half) >> ref_weight_precision
+        v_biref = (ref1_weight * p1 + ref2_weight * p2
+                   + half) >> ref_weight_precision
+        v = jnp.where(mode == 0, v_dc,
+                      jnp.where(mode == 1, v_ref1,
+                                jnp.where(mode == 2, v_ref2, v_biref)))
+        return v * weights[j, i]
+
+    patches = jax.vmap(jax.vmap(block_patch, in_axes=(None, 0)),
+                       in_axes=(0, None))(jnp.arange(yb), jnp.arange(xb))
+    # patches: (yb, xb, yblen, xblen)
+
+    # scatter-add by 2x2 parity groups: patches within a group are disjoint
+    canvas_h = ybsep * yb + 2 * yoffset + yblen
+    canvas_w = xbsep * xb + 2 * xoffset + xblen
+    acc = jnp.zeros((canvas_h, canvas_w), jnp.int32)
+    for pj in range(min(2, yb)):
+        for pi in range(min(2, xb)):
+            grp = patches[pj::2, pi::2]  # (gy, gx, yblen, xblen)
+            gy, gx = grp.shape[0], grp.shape[1]
+            # place each patch at (pj+2k)*ybsep, (pi+2l)*xbsep in padded space
+            canvas = jnp.zeros((canvas_h, canvas_w), jnp.int32)
+            # disjoint: use dynamic one-shot placement via padding + reshape
+            # rows: each group-row occupies [y0, y0+yblen); stride 2*ybsep
+            ph = 2 * ybsep
+            pw = 2 * xbsep
+            padded = jnp.pad(grp, ((0, 0), (0, 0), (0, ph - yblen), (0, pw - xblen)))
+            tiled = padded.transpose(0, 2, 1, 3).reshape(gy * ph, gx * pw)
+            y0 = pj * ybsep
+            x0 = pi * xbsep
+            canvas = canvas.at[y0:y0 + gy * ph, x0:x0 + gx * pw].add(tiled)
+            acc = acc + canvas
+    # the canvas origin corresponds to pixel (-yoffset, -xoffset)
+    region = acc[yoffset:yoffset + out_h, xoffset:xoffset + out_w]
+    pred = (region + 32) >> 6
+    return jnp.clip(pred, 0, 255) - 128

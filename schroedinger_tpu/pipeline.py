@@ -97,6 +97,32 @@ def make_lowdelay_analyze(p: Params):
     return jax.jit(analyze)
 
 
+def make_lowdelay_transform(p: Params):
+    """Jitted fn(y, u, v) -> (y_slices, u_slices, v_slices): the TPU part of
+    low-delay encoding when the native host coder does the search/packing."""
+    depth = p.transform_depth
+    wavelet = p.wavelet_filter_index
+    ny, nx = p.n_vert_slices, p.n_horiz_slices
+    iwt_dims = [(p.iwt_luma_height, p.iwt_luma_width),
+                (p.iwt_chroma_height, p.iwt_chroma_width),
+                (p.iwt_chroma_height, p.iwt_chroma_width)]
+
+    def one(plane, oh, ow):
+        x = plane.astype(jnp.int16) - 128
+        h, w = x.shape
+        x = jnp.pad(x, ((0, oh - h), (0, ow - w)), mode="edge")
+        pyr = wv.forward(x, depth, wavelet)
+        bands = [b.astype(jnp.int32) for b in sl.subband_arrays(pyr, depth)]
+        sliced, _ = sl.to_slices(bands, ny, nx)
+        return sliced
+
+    def run(y, u, v):
+        return tuple(one(pl, oh, ow)
+                     for pl, (oh, ow) in zip((y, u, v), iwt_dims))
+
+    return jax.jit(run)
+
+
 def make_frame_parallel_step(p: Params, mesh: Mesh, axis: str = "frame"):
     """Sharded multi-frame low-delay analysis step: a batch of frames is
     sharded across `axis`; each device transforms + quantises its frames and
