@@ -41,12 +41,9 @@ def bench_ours(frames):
                      frame_rate_numerator=25, frame_rate_denominator=1)
     enc = Encoder(vf, EncoderConfig(rate_control="low_delay", bitrate=BITRATE,
                                     transform_depth=4, intra_wavelet=1))
-    enc.push_frame(frames[0])  # warm up compile
-    enc.pull()
+    enc.encode_stream(frames[:1])  # warm up compile
     t0 = time.perf_counter()
-    for f in frames:
-        enc.push_frame(f)
-        enc.pull()
+    enc.encode_stream(frames)
     dt = time.perf_counter() - t0
     return len(frames) / dt
 

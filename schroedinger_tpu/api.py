@@ -82,12 +82,52 @@ class Encoder:
         return bs.fixup_offsets([bs.make_eos_unit()])
 
     def encode_stream(self, frames) -> bytes:
+        """Pipelined encode: TPU transform/transfer of frame N+1 overlaps the
+        native entropy packing of frame N (two host threads, async device)."""
+        import concurrent.futures as cf
+
+        try:
+            from schroedinger_tpu.encoder.lowdelay import (
+                _get_transform_fn, encode_picture_from_slices)
+            import jax.numpy as jnp
+            transform = _get_transform_fn(self.params)
+        except Exception:
+            transform = None
+
         out = bytearray()
-        for f in frames:
-            self.push_frame(f)
-            out += self.pull()
+        if transform is None:
+            for f in frames:
+                self.push_frame(f)
+                out += self.pull()
+            out += self.end_of_stream()
+            return bytes(out)
+
+        def fetch(dev_arrays):
+            return [np.asarray(a) for a in dev_arrays]
+
+        with cf.ThreadPoolExecutor(max_workers=1) as pool:
+            pending = None  # (future of host arrays, frame_number)
+            for f in frames:
+                import jax.numpy as jnp
+                dev = transform(*[jnp.asarray(pl) for pl in f])
+                fut = pool.submit(fetch, dev)
+                if pending is not None:
+                    self._emit(pending, out)
+                pending = (fut, self.frame_number)
+                self.frame_number += 1
+            if pending is not None:
+                self._emit(pending, out)
         out += self.end_of_stream()
         return bytes(out)
+
+    def _emit(self, pending, out: bytearray) -> None:
+        from schroedinger_tpu.encoder.lowdelay import encode_picture_from_slices
+        fut, fnum = pending
+        ys, us, vs = fut.result()
+        units = [bs.write_sequence_header(self.vf, profile=0, level=0),
+                 encode_picture_from_slices(ys, us, vs, self.params, fnum,
+                                            is_ref=False)]
+        out += bs.fixup_offsets(units, final_eos=False)
 
 
 class Decoder:

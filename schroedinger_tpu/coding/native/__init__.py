@@ -209,3 +209,39 @@ def motion_decode(buffers, x_num_blocks, y_num_blocks, num_refs,
              "dy2", "dc0", "dc1", "dc2"]
     return {k: v.reshape(y_num_blocks, x_num_blocks)
             for k, v in zip(names, outs)}
+
+
+def _ensure_noarith():
+    if not hasattr(_lib, "_na_ready"):
+        _lib.subband_encode_noarith.restype = C.c_int64
+        _lib.subband_encode_noarith.argtypes = [
+            _i32p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
+            _u8p, C.c_int64]
+        _lib.subband_decode_noarith.restype = None
+        _lib.subband_decode_noarith.argtypes = [
+            C.c_char_p, C.c_int64, C.c_int, C.c_int, C.c_int,
+            C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, _i32p]
+        _lib._na_ready = True
+
+
+def encode_subband_noarith(qdata, position, hcb, vcb, have_quant_offset_mode):
+    _ensure_noarith()
+    q = np.ascontiguousarray(qdata, np.int32)
+    h, w = q.shape
+    out = np.zeros(h * w * 8 + 1024, dtype=np.uint8)
+    n = _lib.subband_encode_noarith(q, h, w, position, hcb, vcb,
+                                    1 if have_quant_offset_mode else 0,
+                                    out, len(out))
+    return out[:n].tobytes()
+
+
+def decode_subband_noarith(payload, shape, quant_index, position, hcb, vcb,
+                           have_quant_offset_mode, num_refs=0):
+    _ensure_noarith()
+    h, w = shape
+    out = np.zeros((h, w), dtype=np.int32)
+    _lib.subband_decode_noarith(payload, len(payload), h, w, quant_index,
+                                position, hcb, vcb,
+                                1 if have_quant_offset_mode else 0,
+                                num_refs, out)
+    return out.astype(np.int64)

@@ -1136,3 +1136,81 @@ void motion_decode(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// No-arith (VC-2 simple) subband coding: raw exp-Golomb in codeblock order
+// (schroencoder.c schro_encoder_encode_subband_noarith,
+//  schrodecoder.c schro_decoder_decode_codeblock_noarith).
+
+extern "C" {
+
+int64_t subband_encode_noarith(
+    const int32_t* qdata, int h, int w,
+    int position, int hcb, int vcb, int have_quant_offset_mode,
+    uint8_t* out, int64_t out_capacity) {
+  BitWriter bw;
+  memset(out, 0, out_capacity);
+  bw.init(out, out_capacity);
+  // encoder rule: zero flags only when split AND index > 0 (position > 0)
+  bool have_zero_flags = (hcb > 1 || vcb > 1) && position > 0;
+  bool have_quant_offset = (hcb > 1 || vcb > 1) && have_quant_offset_mode;
+
+  for (int cy = 0; cy < vcb; cy++) {
+    int y0, y1;
+    cb_bounds(h, vcb, cy, &y0, &y1);
+    for (int cx = 0; cx < hcb; cx++) {
+      int x0, x1;
+      cb_bounds(w, hcb, cx, &x0, &x1);
+      if (have_zero_flags) {
+        int zero = 1;
+        for (int j = y0; j < y1 && zero; j++)
+          for (int i = x0; i < x1; i++)
+            if (qdata[(int64_t)j * w + i]) { zero = 0; break; }
+        bw.put_bit(zero);
+        if (zero) continue;
+      }
+      if (have_quant_offset) bw.put_sint(0);
+      for (int j = y0; j < y1; j++)
+        for (int i = x0; i < x1; i++)
+          bw.put_sint(qdata[(int64_t)j * w + i]);
+    }
+  }
+  // pack flush = byte align with zero bits
+  return (bw.pos + 7) / 8;
+}
+
+void subband_decode_noarith(
+    const uint8_t* payload, int64_t payload_len,
+    int h, int w, int quant_index,
+    int position, int hcb, int vcb, int have_quant_offset_mode,
+    int num_refs, int32_t* out) {
+  BitReader r;
+  r.init(payload, payload_len * 8, 1);
+  bool have_zero_flags = (hcb > 1 || vcb > 1) && position > 0;
+  bool have_quant_offset = (hcb > 1 || vcb > 1) && have_quant_offset_mode;
+  int qi = quant_index;
+  memset(out, 0, sizeof(int32_t) * (size_t)h * w);
+
+  for (int cy = 0; cy < vcb; cy++) {
+    int y0, y1;
+    cb_bounds(h, vcb, cy, &y0, &y1);
+    for (int cx = 0; cx < hcb; cx++) {
+      int x0, x1;
+      cb_bounds(w, hcb, cx, &x0, &x1);
+      if (have_zero_flags) {
+        if (r.get_bit()) continue;
+      }
+      if (have_quant_offset) {
+        qi += (int)r.get_sint();
+        qi = std::min(std::max(qi, 0), 60);
+      }
+      int64_t qf = QUANT_FACTOR[qi];
+      int64_t qo = num_refs > 0 ? QUANT_OFFSET_3_8[qi] : QUANT_OFFSET_1_2[qi];
+      for (int j = y0; j < y1; j++)
+        for (int i = x0; i < x1; i++)
+          out[(int64_t)j * w + i] = (int32_t)dequantise1(r.get_sint(), qf, qo);
+    }
+  }
+}
+
+}  // extern "C"

@@ -90,9 +90,14 @@ def decode_picture(payload: bytes, p: Params):
             position = subband_position(index)
             hcb, vcb = _codeblock_counts(p, index)
             parent = bands[index - 3] if position >= 4 else None
-            bands[index] = sb.decode_subband_arith(
-                data, (h, w), quant_index, parent, position, hcb, vcb,
-                p.codeblock_mode_index == 1, is_intra=(p.num_refs == 0))
+            if p.is_noarith:
+                bands[index] = _native.decode_subband_noarith(
+                    data, (h, w), quant_index, position, hcb, vcb,
+                    p.codeblock_mode_index == 1, num_refs=p.num_refs)
+            else:
+                bands[index] = sb.decode_subband_arith(
+                    data, (h, w), quant_index, parent, position, hcb, vcb,
+                    p.codeblock_mode_index == 1, is_intra=(p.num_refs == 0))
         if p.num_refs == 0:
             bands[0] = dc_predict_integrate_np(bands[0])
         pyr = sl.arrays_to_pyramid(

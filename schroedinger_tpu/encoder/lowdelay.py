@@ -195,16 +195,15 @@ def _picture_headers(p: Params, frame_number: int, is_ref: bool) -> bytes:
     return w.get_bytes()
 
 
-def _encode_picture_native(planes_u8, p: Params, frame_number: int,
-                           is_ref: bool) -> bytes:
-    """Fast path: TPU transform+slicing, native C++ search + packing."""
+def encode_picture_from_slices(y_sl, u_sl, v_sl, p: Params,
+                               frame_number: int, is_ref: bool) -> bytes:
+    """Host half of the fast path: native C++ slice search + packing on
+    TPU-produced slice tensors (int16 or int32)."""
     depth = p.transform_depth
     ny, nx = p.n_vert_slices, p.n_horiz_slices
-    transform = _get_transform_fn(p)
-    ys, us, vs = transform(*[jnp.asarray(pl) for pl in planes_u8])
-    y_sl = np.asarray(ys)
-    u_sl = np.asarray(us)
-    v_sl = np.asarray(vs)
+    y_sl = np.asarray(y_sl).astype(np.int32)
+    u_sl = np.asarray(u_sl).astype(np.int32)
+    v_sl = np.asarray(v_sl).astype(np.int32)
 
     llh_y, llw_y = p.iwt_luma_height >> depth, p.iwt_luma_width >> depth
     llh_uv, llw_uv = p.iwt_chroma_height >> depth, p.iwt_chroma_width >> depth
@@ -220,6 +219,14 @@ def _encode_picture_native(planes_u8, p: Params, frame_number: int,
         llh_y // ny, llw_y // nx, llh_uv // ny, llw_uv // nx,
         y_ll, u_ll, v_ll, int(p.quant_matrix[0]), _slice_bytes_array(p))
     return _picture_headers(p, frame_number, is_ref) + payload
+
+
+def _encode_picture_native(planes_u8, p: Params, frame_number: int,
+                           is_ref: bool) -> bytes:
+    """Fast path: TPU transform+slicing, native C++ search + packing."""
+    transform = _get_transform_fn(p)
+    ys, us, vs = transform(*[jnp.asarray(pl) for pl in planes_u8])
+    return encode_picture_from_slices(ys, us, vs, p, frame_number, is_ref)
 
 
 def encode_picture(planes_u8, params: Params, frame_number: int,

@@ -112,7 +112,8 @@ def make_lowdelay_transform(p: Params):
         h, w = x.shape
         x = jnp.pad(x, ((0, oh - h), (0, ow - w)), mode="edge")
         pyr = wv.forward(x, depth, wavelet)
-        bands = [b.astype(jnp.int32) for b in sl.subband_arrays(pyr, depth)]
+        # keep int16 on the wire: halves host<->device transfer volume
+        bands = list(sl.subband_arrays(pyr, depth))
         sliced, _ = sl.to_slices(bands, ny, nx)
         return sliced
 
