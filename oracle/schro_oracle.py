@@ -316,8 +316,10 @@ def decode(stream, width, height, chroma=420):
             L.schro_decoder_add_output_picture(dec, fp)
         elif st == 0:  # OK: picture ready
             fp = L.schro_decoder_pull(dec)
-            if fp:
+            if fp and fp.contents.components[0].data:
                 frames.append(_read_frame(fp))
+                L.schro_frame_unref(fp)
+            elif fp:
                 L.schro_frame_unref(fp)
         elif st == 2:  # EOS
             break

@@ -37,7 +37,7 @@ class Encoder:
         self.cfg = config or EncoderConfig()
         self.frame_number = 0
         self._out: List[bytes] = []
-        self._prev_offset = 0
+        self._chain = bs.OffsetChain()
 
         if self.cfg.rate_control != "low_delay":
             raise NotImplementedError(
@@ -70,7 +70,7 @@ class Encoder:
     def push_frame(self, planes: Tuple[np.ndarray, np.ndarray, np.ndarray]) -> None:
         units = [bs.write_sequence_header(self.vf, profile=0, level=0),
                  loe.encode_picture(planes, self.params, self.frame_number)]
-        self._out.append(bs.fixup_offsets(units, final_eos=False))
+        self._out.append(self._chain.add(units))
         self.frame_number += 1
 
     def pull(self) -> Optional[bytes]:
@@ -79,7 +79,7 @@ class Encoder:
         return None
 
     def end_of_stream(self) -> bytes:
-        return bs.fixup_offsets([bs.make_eos_unit()])
+        return self._chain.add([bs.make_eos_unit()], final_eos=True)
 
     def encode_stream(self, frames) -> bytes:
         """Pipelined encode: TPU transform/transfer of frame N+1 overlaps the
@@ -127,7 +127,7 @@ class Encoder:
         units = [bs.write_sequence_header(self.vf, profile=0, level=0),
                  encode_picture_from_slices(ys, us, vs, self.params, fnum,
                                             is_ref=False)]
-        out += bs.fixup_offsets(units, final_eos=False)
+        out += self._chain.add(units)
 
 
 class Decoder:

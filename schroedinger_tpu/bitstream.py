@@ -65,10 +65,16 @@ def write_parse_info(w: BitWriter, parse_code: int) -> None:
     w.write_bits(32, 0)  # prev_parse_offset, fixed up later
 
 
-def fixup_offsets(units: List[bytes], final_eos: bool = True) -> bytes:
-    """Set next/prev parse offsets across a list of parse units."""
+def fixup_offsets(units: List[bytes], final_eos: bool = True,
+                  prev: int = 0) -> bytes:
+    """Set next/prev parse offsets across a list of parse units.
+
+    `prev` is the next_parse_offset of the unit immediately before this
+    batch (the previous unit's length); the parse sync state machine
+    validates the chain (schroparse.c), so it must be threaded across
+    batches — see chain_offsets for stateful use.
+    """
     out = bytearray()
-    prev = 0
     for i, u in enumerate(units):
         u = bytearray(u)
         is_eos = final_eos and i == len(units) - 1 and u[4] == END_OF_SEQUENCE
@@ -78,6 +84,21 @@ def fixup_offsets(units: List[bytes], final_eos: bool = True) -> bytes:
         prev = nxt
         out += u
     return bytes(out)
+
+
+class OffsetChain:
+    """Stateful parse-offset fixup across successive unit batches."""
+
+    def __init__(self):
+        self.prev = 0
+
+    def add(self, units: List[bytes], final_eos: bool = False) -> bytes:
+        out = fixup_offsets(units, final_eos=final_eos, prev=self.prev)
+        if units:
+            last = units[-1]
+            self.prev = 0 if (final_eos and last[4] == END_OF_SEQUENCE) \
+                else len(last)
+        return out
 
 
 def make_eos_unit() -> bytes:

@@ -245,3 +245,39 @@ def decode_subband_noarith(payload, shape, quant_index, position, hcb, vcb,
                                 1 if have_quant_offset_mode else 0,
                                 num_refs, out)
     return out.astype(np.int64)
+
+
+def _ensure_motion_enc():
+    if not hasattr(_lib, "_me_ready"):
+        _lib.motion_encode.restype = C.c_int64
+        _lib.motion_encode.argtypes = (
+            [C.c_int, C.c_int, C.c_int, C.c_int, C.c_int]
+            + [_i32p] * 10 + [_u8p, C.c_int64, _i64p, _i64p])
+        _lib._me_ready = True
+
+
+def motion_encode(mv: dict, x_num_blocks, y_num_blocks, num_refs,
+                  have_global=False, is_noarith=False):
+    """Encode MV fields; returns list of 9 bytes objects (stream payloads)."""
+    _ensure_motion_enc()
+    n = x_num_blocks * y_num_blocks
+    arrays = [np.ascontiguousarray(mv[k].reshape(-1), np.int32)
+              for k in ("split", "pred_mode", "using_global", "dx1", "dy1",
+                        "dx2", "dy2", "dc0", "dc1", "dc2")]
+    cap = max(4096, n * 32) * 9
+    out = np.zeros(cap, dtype=np.uint8)
+    offsets = np.zeros(9, dtype=np.int64)
+    lengths = np.zeros(9, dtype=np.int64)
+    total = _lib.motion_encode(x_num_blocks, y_num_blocks, num_refs,
+                               1 if have_global else 0,
+                               1 if is_noarith else 0,
+                               *arrays, out, cap, offsets, lengths)
+    if total < 0:
+        raise ValueError("motion encode overflow")
+    bufs = []
+    for s in range(9):
+        if num_refs < 2 and s in (4, 5):
+            bufs.append(None)
+        else:
+            bufs.append(out[offsets[s]:offsets[s] + lengths[s]].tobytes())
+    return bufs

@@ -1214,3 +1214,261 @@ void subband_decode_noarith(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Motion block data ENCODE (mirror of motion_decode; encoder side of
+// schroencoder.c schro_encoder_encode_superblock_split/prediction_modes/
+// vector_data/dc_data). Uses the same spatial predictions; 9 streams.
+
+extern "C" {
+
+namespace {
+
+struct MvEncCtx {
+  ArithEnc arith[9];
+  BitWriter pack[9];
+  bool noarith;
+  int xnb, ynb, num_refs, have_global;
+  MvArrays in;  // inputs to encode
+
+  void enc_uint(int s, int cc, int vc, int64_t v) {
+    if (noarith) pack[s].put_uint(v);
+    else arith[s].encode_uint(cc, vc, v);
+  }
+  void enc_sint(int s, int cc, int vc, int sc, int64_t v) {
+    if (noarith) pack[s].put_sint(v);
+    else arith[s].encode_sint(cc, vc, sc, v);
+  }
+  void enc_bit(int s, int ctx, int v) {
+    if (noarith) pack[s].put_bit(v);
+    else arith[s].encode_bit(ctx, v);
+  }
+};
+
+// reuse the same spatial predictors via a shim over MvArrays
+static int e_mode_prediction(MvEncCtx* m, int x, int y) {
+  int xnb = m->xnb;
+  if (y == 0) return x == 0 ? 0 : m->in.pred_mode[x - 1];
+  if (x == 0) return m->in.pred_mode[(y - 1) * xnb];
+  int a = m->in.pred_mode[y * xnb + x - 1];
+  int b = m->in.pred_mode[(y - 1) * xnb + x];
+  int c = m->in.pred_mode[(y - 1) * xnb + x - 1];
+  return (a & b) | (b & c) | (c & a);
+}
+
+static int e_split_prediction(MvEncCtx* m, int x, int y) {
+  int xnb = m->xnb;
+  if (y == 0) return x == 0 ? 0 : m->in.split[x - 4];
+  if (x == 0) return m->in.split[(y - 4) * xnb];
+  int sum = m->in.split[(y - 4) * xnb + x]
+          + m->in.split[y * xnb + x - 4]
+          + m->in.split[(y - 4) * xnb + x - 4];
+  return (sum + 1) / 3;
+}
+
+static int e_global_prediction(MvEncCtx* m, int x, int y) {
+  int xnb = m->xnb;
+  if (x == 0 && y == 0) return 0;
+  if (y == 0) return m->in.using_global[x - 1];
+  if (x == 0) return m->in.using_global[(y - 1) * xnb];
+  int sum = m->in.using_global[y * xnb + x - 1]
+          + m->in.using_global[(y - 1) * xnb + x]
+          + m->in.using_global[(y - 1) * xnb + x - 1];
+  return sum >= 2;
+}
+
+static void e_dc_prediction(MvEncCtx* m, int x, int y, int pred[3]) {
+  int xnb = m->xnb;
+  const int32_t* dcs[3] = {m->in.dc0, m->in.dc1, m->in.dc2};
+  for (int k = 0; k < 3; k++) {
+    int sum = 0, n = 0;
+    if (x > 0 && m->in.pred_mode[y * xnb + x - 1] == 0) {
+      sum += dcs[k][y * xnb + x - 1]; n++;
+    }
+    if (y > 0 && m->in.pred_mode[(y - 1) * xnb + x] == 0) {
+      sum += dcs[k][(y - 1) * xnb + x]; n++;
+    }
+    if (x > 0 && y > 0 && m->in.pred_mode[(y - 1) * xnb + x - 1] == 0) {
+      sum += dcs[k][(y - 1) * xnb + x - 1]; n++;
+    }
+    switch (n) {
+      case 0: pred[k] = 0; break;
+      case 1: pred[k] = (int16_t)sum; break;
+      case 2: pred[k] = (sum + 1) >> 1; break;
+      default: pred[k] = divide3(sum + 1); break;
+    }
+  }
+}
+
+static void e_vector_prediction(MvEncCtx* m, int x, int y, int* px, int* py,
+                                int mode) {
+  int xnb = m->xnb;
+  int ref = mode - 1;
+  const int32_t* dxs = ref == 0 ? m->in.dx1 : m->in.dx2;
+  const int32_t* dys = ref == 0 ? m->in.dy1 : m->in.dy2;
+  int vx[3], vy[3];
+  int n = 0;
+  if (x > 0) {
+    int idx = y * xnb + x - 1;
+    if (!m->in.using_global[idx] && (m->in.pred_mode[idx] & mode)) {
+      vx[n] = dxs[idx]; vy[n] = dys[idx]; n++;
+    }
+  }
+  if (y > 0) {
+    int idx = (y - 1) * xnb + x;
+    if (!m->in.using_global[idx] && (m->in.pred_mode[idx] & mode)) {
+      vx[n] = dxs[idx]; vy[n] = dys[idx]; n++;
+    }
+  }
+  if (x > 0 && y > 0) {
+    int idx = (y - 1) * xnb + x - 1;
+    if (!m->in.using_global[idx] && (m->in.pred_mode[idx] & mode)) {
+      vx[n] = dxs[idx]; vy[n] = dys[idx]; n++;
+    }
+  }
+  switch (n) {
+    case 0: *px = 0; *py = 0; break;
+    case 1: *px = vx[0]; *py = vy[0]; break;
+    case 2:
+      *px = (vx[0] + vx[1] + 1) >> 1;
+      *py = (vy[0] + vy[1] + 1) >> 1;
+      break;
+    default:
+      *px = median3i(vx[0], vx[1], vx[2]);
+      *py = median3i(vy[0], vy[1], vy[2]);
+      break;
+  }
+}
+
+static void encode_prediction_unit(MvEncCtx* m, int x, int y) {
+  int xnb = m->xnb;
+  int idx = y * xnb + x;
+  int mode = m->in.pred_mode[idx];
+  int mode_pred = e_mode_prediction(m, x, y);
+  m->enc_bit(S_PM, CTX_BLOCK_MODE_REF1, (mode ^ mode_pred) & 1);
+  if (m->num_refs > 1) {
+    m->enc_bit(S_PM, CTX_BLOCK_MODE_REF2, ((mode ^ mode_pred) >> 1) & 1);
+  }
+  if (mode == 0) {
+    int pred[3];
+    e_dc_prediction(m, x, y, pred);
+    m->enc_sint(S_DC0, CTX_LUMA_DC_CONT_BIN1, CTX_LUMA_DC_VALUE,
+                CTX_LUMA_DC_SIGN, m->in.dc0[idx] - pred[0]);
+    m->enc_sint(S_DC1, CTX_CHROMA1_DC_CONT_BIN1, CTX_CHROMA1_DC_VALUE,
+                CTX_CHROMA1_DC_SIGN, m->in.dc1[idx] - pred[1]);
+    m->enc_sint(S_DC2, CTX_CHROMA2_DC_CONT_BIN1, CTX_CHROMA2_DC_VALUE,
+                CTX_CHROMA2_DC_SIGN, m->in.dc2[idx] - pred[2]);
+  } else {
+    if (m->have_global) {
+      int gp = e_global_prediction(m, x, y);
+      m->enc_bit(S_PM, CTX_GLOBAL_BLOCK, m->in.using_global[idx] ^ gp);
+    }
+    if (!m->in.using_global[idx]) {
+      if (mode & 1) {
+        int px, py;
+        e_vector_prediction(m, x, y, &px, &py, 1);
+        m->enc_sint(S_V1X, CTX_MV_REF1_H_CONT_BIN1, CTX_MV_REF1_H_VALUE,
+                    CTX_MV_REF1_H_SIGN, m->in.dx1[idx] - px);
+        m->enc_sint(S_V1Y, CTX_MV_REF1_V_CONT_BIN1, CTX_MV_REF1_V_VALUE,
+                    CTX_MV_REF1_V_SIGN, m->in.dy1[idx] - py);
+      }
+      if (mode & 2) {
+        int px, py;
+        e_vector_prediction(m, x, y, &px, &py, 2);
+        m->enc_sint(S_V2X, CTX_MV_REF2_H_CONT_BIN1, CTX_MV_REF2_H_VALUE,
+                    CTX_MV_REF2_H_SIGN, m->in.dx2[idx] - px);
+        m->enc_sint(S_V2Y, CTX_MV_REF2_V_CONT_BIN1, CTX_MV_REF2_V_VALUE,
+                    CTX_MV_REF2_V_SIGN, m->in.dy2[idx] - py);
+      }
+    }
+  }
+}
+
+}  // namespace
+
+// Encodes MV fields; returns 9 buffer lengths in lengths_out; buffers are
+// packed back-to-back into `out` at offsets_out.
+// The caller must ensure the per-block arrays are consistent with the split
+// values (blocks within a prediction unit identical).
+int64_t motion_encode(
+    int x_num_blocks, int y_num_blocks, int num_refs, int have_global,
+    int is_noarith,
+    const int32_t* split, const int32_t* pred_mode,
+    const int32_t* using_global,
+    const int32_t* dx1, const int32_t* dy1,
+    const int32_t* dx2, const int32_t* dy2,
+    const int32_t* dc0, const int32_t* dc1, const int32_t* dc2,
+    uint8_t* out, int64_t out_capacity,
+    int64_t* offsets_out, int64_t* lengths_out) {
+  MvEncCtx m;
+  m.noarith = is_noarith != 0;
+  m.xnb = x_num_blocks;
+  m.ynb = y_num_blocks;
+  m.num_refs = num_refs;
+  m.have_global = have_global;
+  m.in = MvArrays{const_cast<int32_t*>(split), const_cast<int32_t*>(pred_mode),
+                  const_cast<int32_t*>(using_global),
+                  const_cast<int32_t*>(dx1), const_cast<int32_t*>(dy1),
+                  const_cast<int32_t*>(dx2), const_cast<int32_t*>(dy2),
+                  const_cast<int32_t*>(dc0), const_cast<int32_t*>(dc1),
+                  const_cast<int32_t*>(dc2)};
+
+  // each stream gets a private slab of the output buffer
+  int64_t slab = out_capacity / 9;
+  uint8_t* bufs[9];
+  for (int s = 0; s < 9; s++) {
+    bufs[s] = out + s * slab;
+    if (m.noarith) {
+      memset(bufs[s], 0, slab);
+      m.pack[s].init(bufs[s], slab);
+    } else {
+      m.arith[s].init(bufs[s], slab);
+    }
+  }
+
+  for (int j = 0; j < y_num_blocks; j += 4) {
+    for (int i = 0; i < x_num_blocks; i += 4) {
+      int base = j * x_num_blocks + i;
+      int sp = e_split_prediction(&m, i, j);
+      int split_v = split[base];
+      // value encoded so decoder's (pred + v) % 3 == split
+      int delta = (split_v - sp) % 3;
+      if (delta < 0) delta += 3;
+      m.enc_uint(S_SB, CTX_SB_F1, CTX_SB_DATA, delta);
+      switch (split_v) {
+        case 0:
+          encode_prediction_unit(&m, i, j);
+          break;
+        case 1:
+          encode_prediction_unit(&m, i, j);
+          encode_prediction_unit(&m, i + 2, j);
+          encode_prediction_unit(&m, i, j + 2);
+          encode_prediction_unit(&m, i + 2, j + 2);
+          break;
+        case 2:
+          for (int l = 0; l < 4; l++)
+            for (int k = 0; k < 4; k++)
+              encode_prediction_unit(&m, i + k, j + l);
+          break;
+      }
+    }
+  }
+
+  int64_t total = 0;
+  for (int s = 0; s < 9; s++) {
+    int64_t len;
+    if (num_refs < 2 && (s == S_V2X || s == S_V2Y)) {
+      len = 0;
+    } else if (m.noarith) {
+      len = (m.pack[s].pos + 7) / 8;
+    } else {
+      len = m.arith[s].flush();
+    }
+    offsets_out[s] = s * slab;
+    lengths_out[s] = len;
+    total += len;
+  }
+  return total;
+}
+
+}  // extern "C"

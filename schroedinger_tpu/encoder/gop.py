@@ -1,0 +1,115 @@
+"""Long-GOP encoder driver: GOP structure, reference management, rate control.
+
+Round-1 scope: IPPP (backref) GOP with intra pictures every `au_distance`,
+constant base quantiser (constant-lambda analog); CBR buffer model follows.
+The stream is standard Dirac main profile, decodable by the reference.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from schroedinger_tpu import bitstream as bs
+from schroedinger_tpu.decoder.core import RefFrame
+from schroedinger_tpu.encoder import inter as ei_inter
+from schroedinger_tpu.encoder import intra as ei_intra
+from schroedinger_tpu.decoder import intra as di_intra
+from schroedinger_tpu.coding.bitio import BitReader
+from schroedinger_tpu.params import Params, subband_count
+from schroedinger_tpu.video_format import VideoFormat
+from schroedinger_tpu.wavelets import MAX_DEPTH_S16, Wavelet
+
+
+class GopEncoder:
+    def __init__(self, video_format: VideoFormat,
+                 intra_wavelet: Wavelet = Wavelet.DESLAURIERS_DUBUC_9_7,
+                 inter_wavelet: Wavelet = Wavelet.LE_GALL_5_3,
+                 transform_depth: int = 3,
+                 gop_length: int = 24,
+                 base_qi_intra: int = 16,
+                 base_qi_inter: int = 20):
+        self.vf = video_format
+        self.intra_wavelet = intra_wavelet
+        self.inter_wavelet = inter_wavelet
+        self.depth = min(transform_depth,
+                         MAX_DEPTH_S16[intra_wavelet],
+                         MAX_DEPTH_S16[inter_wavelet])
+        self.gop_length = gop_length
+        self.base_qi_intra = base_qi_intra
+        self.base_qi_inter = base_qi_inter
+        self.frame_number = 0
+        self.last_ref: Optional[int] = None
+        self.prev_ref: Optional[int] = None
+        self.ref_frames = {}
+        self._chain = bs.OffsetChain()
+
+    def _params(self, num_refs: int) -> Params:
+        p = Params(video_format=self.vf, num_refs=num_refs,
+                   transform_depth=self.depth,
+                   wavelet_filter_index=(self.inter_wavelet if num_refs
+                                         else self.intra_wavelet))
+        p.set_default_codeblocks()
+        p.set_default_quant_matrix()
+        p.mv_precision = 0
+        # adaptive block size by resolution (schroengine.c:391-430)
+        area = self.vf.width * self.vf.height
+        if area >= 1920 * 1080:
+            p.xblen_luma = p.yblen_luma = 24
+            p.xbsep_luma = p.ybsep_luma = 16
+        elif area >= 960 * 540:
+            p.xblen_luma = p.yblen_luma = 16
+            p.xbsep_luma = p.ybsep_luma = 12
+        else:
+            p.xblen_luma = p.yblen_luma = 12
+            p.xbsep_luma = p.ybsep_luma = 8
+        return p
+
+    def encode_frame(self, planes) -> bytes:
+        num = self.frame_number
+        is_intra = (num % self.gop_length) == 0
+        units = []
+        if is_intra:
+            units.append(bs.write_sequence_header(self.vf, profile=8, level=0))
+            p = self._params(0)
+            nb = subband_count(p.transform_depth)
+            qm = np.asarray(p.quant_matrix[:nb], np.int32)
+            qis = {}
+            for comp in range(3):
+                for i in range(nb):
+                    hcb, vcb = ei_inter._codeblock_counts(p, i)
+                    qi = int(np.clip(self.base_qi_intra - qm[i], 0, 60))
+                    qis[(comp, i)] = np.full((vcb, hcb), qi, np.int32)
+            unit = ei_intra.encode_picture(planes, p, num, quant_indices=qis,
+                                           is_ref=True,
+                                           retired=self.prev_ref)
+            # reconstruct via our own decoder path (bit-exact with decoders)
+            r = BitReader(unit[13:])
+            r.read_bits(32)
+            r.read_sint()  # retired
+            r.sync()
+            bs.read_transform_parameters(r, p)
+            r.sync()
+            recon = di_intra.decode_picture(unit[13 + r.bits_read // 8:], p)
+        else:
+            p = self._params(1)
+            unit, recon = ei_inter.encode_inter_picture(
+                planes, p, num, self.last_ref, self.ref_frames[self.last_ref],
+                base_qi=self.base_qi_inter, is_ref=True,
+                retired=self.prev_ref)
+        units.append(unit)
+
+        if self.prev_ref is not None:
+            self.ref_frames.pop(self.prev_ref, None)
+        self.ref_frames[num] = RefFrame(recon)
+        self.prev_ref = self.last_ref
+        self.last_ref = num
+        self.frame_number += 1
+        return self._chain.add(units)
+
+    def encode_stream(self, frames) -> bytes:
+        out = bytearray()
+        for f in frames:
+            out += self.encode_frame(f)
+        out += self._chain.add([bs.make_eos_unit()], final_eos=True)
+        return bytes(out)

@@ -1,0 +1,127 @@
+"""Hierarchical block-matching motion estimation on TPU.
+
+TPU-first design (not a translation of schromotionest.c): every level
+evaluates all candidate displacements for all blocks at once — the SAD of a
+shifted reference against the current frame reduces blockwise via reshape,
+so the work is pure dense elementwise + reductions (VPU-friendly), with the
+candidate axis vmapped. Coarse levels scan exhaustively; finer levels refine
+around the upsampled parent vectors (hint propagation, like
+schroroughmotion.c but data-parallel).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def downsample2(x):
+    """2x box downsample (encoder-side pyramid; decision-only)."""
+    h, w = x.shape
+    h2, w2 = h // 2 * 2, w // 2 * 2
+    x = x[:h2, :w2].astype(jnp.int32)
+    return ((x[0::2, 0::2] + x[0::2, 1::2] + x[1::2, 0::2] + x[1::2, 1::2]
+             + 2) >> 2).astype(jnp.uint8)
+
+
+def _block_sads(cur, ref, bs_y, bs_x, cands):
+    """SAD per block per candidate displacement.
+
+    cur, ref: (H, W) u8 (H, W multiples of bs). cands: (K, 2) int32 (dy, dx).
+    Returns (K, H//bs_y, W//bs_x) int32.
+    """
+    H, W = cur.shape
+    c = cur.astype(jnp.int32)
+    r = ref.astype(jnp.int32)
+
+    def one(d):
+        dy, dx = d[0], d[1]
+        shifted = jnp.roll(r, (-dy, -dx), axis=(0, 1))
+        # rolled wrap-around is fine for decision purposes; penalize borders
+        diff = jnp.abs(c - shifted)
+        blocks = diff.reshape(H // bs_y, bs_y, W // bs_x, bs_x)
+        return blocks.sum(axis=(1, 3))
+
+    return jax.vmap(one)(cands)
+
+
+def _grid_cands(radius, step=1):
+    r = np.arange(-radius, radius + 1, step)
+    dy, dx = np.meshgrid(r, r, indexing="ij")
+    return np.stack([dy.ravel(), dx.ravel()], axis=1).astype(np.int32)
+
+
+def make_me_fn(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
+               levels=3, coarse_radius=8, refine_radius=2):
+    """Build a jitted ME: (cur_y u8, ref_y u8) -> (dy, dx) per block (pel)."""
+    pad_h = ybsep * y_num_blocks
+    pad_w = xbsep * x_num_blocks
+
+    cands_coarse = jnp.asarray(_grid_cands(coarse_radius))
+    cands_refine = jnp.asarray(_grid_cands(refine_radius))
+
+    def me(cur, ref):
+        cur = jnp.pad(cur, ((0, pad_h - H), (0, pad_w - W)), mode="edge")
+        ref = jnp.pad(ref, ((0, pad_h - H), (0, pad_w - W)), mode="edge")
+
+        pyr_c = [cur]
+        pyr_r = [ref]
+        for _ in range(levels - 1):
+            pyr_c.append(downsample2(pyr_c[-1]))
+            pyr_r.append(downsample2(pyr_r[-1]))
+
+        # coarsest: exhaustive scan with per-level block size ~ bsep
+        mv = None
+        for lev in range(levels - 1, -1, -1):
+            c, r = pyr_c[lev], pyr_r[lev]
+            bs_y = max(4, ybsep >> lev) if lev else ybsep
+            bs_x = max(4, xbsep >> lev) if lev else xbsep
+            h, w = c.shape
+            h = h // bs_y * bs_y
+            w = w // bs_x * bs_x
+            c = c[:h, :w]
+            r = r[:h, :w]
+            nby, nbx = h // bs_y, w // bs_x
+            if mv is None:
+                sads = _block_sads(c, r, bs_y, bs_x, cands_coarse)
+                best = jnp.argmin(sads, axis=0)
+                mv = cands_coarse[best]            # (nby, nbx, 2)
+            else:
+                # upsample hints to this level's grid, scale x2
+                hint = mv * 2
+                hy, hx = hint.shape[0], hint.shape[1]
+                ys = jnp.clip((jnp.arange(nby) * hy) // nby, 0, hy - 1)
+                xs = jnp.clip((jnp.arange(nbx) * hx) // nbx, 0, hx - 1)
+                hint = hint[ys[:, None], xs[None, :]]  # (nby, nbx, 2)
+
+                def sad_at(d):
+                    dd = hint + d[None, None, :]
+                    # gather block SADs at displaced positions via dynamic
+                    # per-block shifts: evaluate by shifting ref per candidate
+                    # offset around hint using take-based sampling
+                    return _sad_displaced(c, r, bs_y, bs_x, dd)
+
+                sads = jax.vmap(sad_at)(cands_refine)
+                best = jnp.argmin(sads, axis=0)
+                mv = hint + cands_refine[best]
+        return mv[..., 0], mv[..., 1]
+
+    def _sad_displaced(c, r, bs_y, bs_x, disp):
+        """SAD per block with a per-block displacement field disp (nby,nbx,2)."""
+        h, w = c.shape
+        nby, nbx = h // bs_y, w // bs_x
+        yy = jnp.arange(h)
+        xx = jnp.arange(w)
+        # expand the per-block displacement field to per-pixel
+        dy_pix = jnp.repeat(jnp.repeat(disp[..., 0], bs_y, axis=0), bs_x, axis=1)
+        dx_pix = jnp.repeat(jnp.repeat(disp[..., 1], bs_y, axis=0), bs_x, axis=1)
+        src_y = jnp.clip(yy[:, None] + dy_pix, 0, h - 1)
+        src_x = jnp.clip(xx[None, :] + dx_pix, 0, w - 1)
+        sampled = r[src_y, src_x]
+        diff = jnp.abs(c.astype(jnp.int32) - sampled.astype(jnp.int32))
+        return diff.reshape(nby, bs_y, nbx, bs_x).sum(axis=(1, 3))
+
+    return jax.jit(me)

@@ -1,0 +1,54 @@
+"""Long-GOP encoder validation: our P-picture streams must decode identically
+in the reference decoder and our decoder, with sane quality."""
+import numpy as np
+import pytest
+
+from oracle import schro_oracle as so
+from schroedinger_tpu.decoder.core import StreamDecoder
+from schroedinger_tpu.encoder.gop import GopEncoder
+from schroedinger_tpu.video_format import ChromaFormat, VideoFormat
+
+W, H = 96, 80
+
+
+def make_frames(n=5, seed=21):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:H, 0:W]
+    base = (128 + 60 * np.sin(xx / 7.0) * np.cos(yy / 5.0))
+    noise = rng.normal(0, 4, (H, W))
+    out = []
+    for i in range(n):
+        y = np.roll(base, (i * 2, i * 3), axis=(0, 1)) + noise
+        u = 128 + 25 * np.cos((xx[::2, ::2] + 4 * i) / 9.0)
+        v = 128 + 25 * np.sin((yy[::2, ::2] + 3 * i) / 11.0)
+        out.append((y.clip(0, 255).astype(np.uint8),
+                    u.clip(0, 255).astype(np.uint8),
+                    v.clip(0, 255).astype(np.uint8)))
+    return out
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_gop_stream_decodes_in_reference_decoder():
+    frames = make_frames()
+    vf = VideoFormat(width=W, height=H, clean_width=W, clean_height=H,
+                     chroma_format=ChromaFormat.C420,
+                     frame_rate_numerator=25, frame_rate_denominator=1)
+    enc = GopEncoder(vf, base_qi_intra=12, base_qi_inter=16)
+    stream = enc.encode_stream(frames)
+
+    mine = StreamDecoder().decode_stream(stream)
+    ref = so.decode(stream, W, H)
+    assert len(ref) >= len(frames) - 1
+    for n, (g3, r3) in enumerate(zip(mine, ref)):
+        for g, r, name in zip(g3, r3, "yuv"):
+            np.testing.assert_array_equal(
+                g, r, err_msg=f"frame {n} plane {name} (ref decoder disagrees)")
+
+    # quality sanity: every frame should be reasonably close to the input
+    for n, (g3, orig) in enumerate(zip(mine, frames)):
+        p = psnr(g3[0], orig[0])
+        assert p > 30, f"frame {n} luma PSNR {p:.1f} too low"
