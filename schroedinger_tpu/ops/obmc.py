@@ -191,6 +191,41 @@ def fetch_block(up, mv_precision, px0, py0, blen_y, blen_x):
     return (v + 8) >> 4
 
 
+def _fetch_pixels(up, mv_precision, px, py):
+    """Per-pixel sub-pel fetch from an interleaved half-pel plane.
+
+    px, py: (H, W) int32 coordinates in units of 1/2^prec pel. One or four
+    whole-frame gathers (XLA-friendly; no per-block control flow).
+    """
+    h2, w2 = up.shape
+    if mv_precision == 0:
+        yy = jnp.clip(py, 0, h2 // 2 - 1)
+        xx = jnp.clip(px, 0, w2 // 2 - 1)
+        return up[2 * yy, 2 * xx].astype(jnp.int32)
+    if mv_precision == 1:
+        yy = jnp.clip(py, 0, h2 - 2)
+        xx = jnp.clip(px, 0, w2 - 2)
+        return up[yy, xx].astype(jnp.int32)
+    if mv_precision == 2:
+        px = px << 1
+        py = py << 1
+    hy = py >> 2
+    hx = px >> 2
+    ry = py & 3
+    rx = px & 3
+    c_y0 = jnp.clip(hy, 0, h2 - 2)
+    c_x0 = jnp.clip(hx, 0, w2 - 2)
+    c_y1 = jnp.clip(hy + 1, 0, h2 - 2)
+    c_x1 = jnp.clip(hx + 1, 0, w2 - 2)
+    p00 = up[c_y0, c_x0].astype(jnp.int32)
+    p01 = up[c_y0, c_x1].astype(jnp.int32)
+    p10 = up[c_y1, c_x0].astype(jnp.int32)
+    p11 = up[c_y1, c_x1].astype(jnp.int32)
+    v = ((4 - ry) * (4 - rx) * p00 + (4 - ry) * rx * p01
+         + ry * (4 - rx) * p10 + ry * rx * p11)
+    return (v + 8) >> 4
+
+
 def render_component(mv_dx, mv_dy, mv_dx2, mv_dy2, pred_mode, dc,
                      up1, up2, weights,
                      xblen, yblen, xbsep, ybsep, mv_precision,
@@ -198,74 +233,85 @@ def render_component(mv_dx, mv_dy, mv_dx2, mv_dy2, pred_mode, dc,
                      out_h, out_w, h_shift=0, v_shift=0):
     """Render one component's OBMC prediction (s16, already offset -128).
 
+    Phase-decomposed formulation: blocks split into 2x2 parity phases; in
+    each phase every pixel is covered by at most one block, so the whole
+    contribution is per-pixel index math + one (or four) dense gathers.
+
     mv_*: (yb, xb) int32 per-block luma-scaled MVs (chroma shift applied
     here); pred_mode: (yb, xb); dc: (yb, xb) per-component dc values;
     up1/up2: interleaved half-pel reference planes ((2h,2w) u8) or None;
-    weights: (yb, xb, yblen, xblen) from obmc_weight_grids.
+    weights: (yb, xb, yblen, xblen) from obmc_weight_grids (unused in this
+    formulation; kept for API compat).
     Returns (out_h, out_w) int32 = clamp(pred, 0, 255) - 128.
     """
     yb, xb = pred_mode.shape
     xoffset = (xblen - xbsep) // 2
     yoffset = (yblen - ybsep) // 2
+    full_w = xbsep * xb
+    full_h = ybsep * yb
 
     dx1 = mv_dx >> h_shift if h_shift else mv_dx
     dy1 = mv_dy >> v_shift if v_shift else mv_dy
     dx2 = mv_dx2 >> h_shift if h_shift else mv_dx2
     dy2 = mv_dy2 >> v_shift if v_shift else mv_dy2
 
-    bx0 = (jnp.arange(xb) * xbsep - xoffset)
-    by0 = (jnp.arange(yb) * ybsep - yoffset)
+    # 1-D ramp profiles within a block + picture-edge overrides
+    wx_prof = jnp.asarray(_ramp_weights(xblen, xoffset))
+    wy_prof = jnp.asarray(_ramp_weights(yblen, yoffset))
+    ys = jnp.arange(out_h)
+    xs = jnp.arange(out_w)
 
-    def block_patch(j, i):
-        """Weighted prediction patch for block (j, i)."""
-        px1 = ((bx0[i] << mv_precision) + dx1[j, i])
-        py1 = ((by0[j] << mv_precision) + dy1[j, i])
-        px2 = ((bx0[i] << mv_precision) + dx2[j, i])
-        py2 = ((by0[j] << mv_precision) + dy2[j, i])
-        mode = pred_mode[j, i]
+    acc = jnp.zeros((out_h, out_w), jnp.int32)
+    for pj in range(2):
+        for pi in range(2):
+            # phase block index covering each pixel (parity pj/pi)
+            jj = ((ys + yoffset - pj * ybsep) // (2 * ybsep)) * 2 + pj
+            ii = ((xs + xoffset - pi * xbsep) // (2 * xbsep)) * 2 + pi
+            ty = ys - (jj * ybsep - yoffset)       # offset within block
+            tx = xs - (ii * xbsep - xoffset)
+            vy = (ty >= 0) & (ty < yblen) & (jj >= 0) & (jj < yb)
+            vx = (tx >= 0) & (tx < xblen) & (ii >= 0) & (ii < xb)
+            jjc = jnp.clip(jj, 0, yb - 1)
+            iic = jnp.clip(ii, 0, xb - 1)
+            tyc = jnp.clip(ty, 0, yblen - 1)
+            txc = jnp.clip(tx, 0, xblen - 1)
 
-        p1 = fetch_block(up1, mv_precision, px1, py1, yblen, xblen) \
-            if up1 is not None else jnp.zeros((yblen, xblen), jnp.int32)
-        p2 = fetch_block(up2, mv_precision, px2, py2, yblen, xblen) \
-            if up2 is not None else jnp.zeros((yblen, xblen), jnp.int32)
+            # per-pixel weights with picture-edge overrides
+            if yoffset == 0:
+                wy = jnp.full(out_h, 8, jnp.int32)
+            else:
+                wy = jnp.where((ys < yoffset) | (ys >= full_h - yoffset),
+                               8, wy_prof[tyc])
+            if xoffset == 0:
+                wx = jnp.full(out_w, 8, jnp.int32)
+            else:
+                wx = jnp.where((xs < xoffset) | (xs >= full_w - xoffset),
+                               8, wx_prof[txc])
+            wgt = (wy * vy)[:, None] * (wx * vx)[None, :]
 
-        wsum = ref1_weight + ref2_weight
-        half = (1 << ref_weight_precision) >> 1
-        v_dc = dc[j, i] + 128
-        v_ref1 = (wsum * p1 + half) >> ref_weight_precision
-        v_ref2 = (wsum * p2 + half) >> ref_weight_precision
-        v_biref = (ref1_weight * p1 + ref2_weight * p2
-                   + half) >> ref_weight_precision
-        v = jnp.where(mode == 0, v_dc,
-                      jnp.where(mode == 1, v_ref1,
-                                jnp.where(mode == 2, v_ref2, v_biref)))
-        return v * weights[j, i]
+            # per-pixel block fields
+            J = jjc[:, None]
+            I = iic[None, :]
+            mode = pred_mode[J, I]
+            wsum = ref1_weight + ref2_weight
+            half = (1 << ref_weight_precision) >> 1
 
-    patches = jax.vmap(jax.vmap(block_patch, in_axes=(None, 0)),
-                       in_axes=(0, None))(jnp.arange(yb), jnp.arange(xb))
-    # patches: (yb, xb, yblen, xblen)
-
-    # scatter-add by 2x2 parity groups: patches within a group are disjoint
-    canvas_h = ybsep * yb + 2 * yoffset + yblen
-    canvas_w = xbsep * xb + 2 * xoffset + xblen
-    acc = jnp.zeros((canvas_h, canvas_w), jnp.int32)
-    for pj in range(min(2, yb)):
-        for pi in range(min(2, xb)):
-            grp = patches[pj::2, pi::2]  # (gy, gx, yblen, xblen)
-            gy, gx = grp.shape[0], grp.shape[1]
-            # place each patch at (pj+2k)*ybsep, (pi+2l)*xbsep in padded space
-            canvas = jnp.zeros((canvas_h, canvas_w), jnp.int32)
-            # disjoint: use dynamic one-shot placement via padding + reshape
-            # rows: each group-row occupies [y0, y0+yblen); stride 2*ybsep
-            ph = 2 * ybsep
-            pw = 2 * xbsep
-            padded = jnp.pad(grp, ((0, 0), (0, 0), (0, ph - yblen), (0, pw - xblen)))
-            tiled = padded.transpose(0, 2, 1, 3).reshape(gy * ph, gx * pw)
-            y0 = pj * ybsep
-            x0 = pi * xbsep
-            canvas = canvas.at[y0:y0 + gy * ph, x0:x0 + gx * pw].add(tiled)
-            acc = acc + canvas
-    # the canvas origin corresponds to pixel (-yoffset, -xoffset)
-    region = acc[yoffset:yoffset + out_h, xoffset:xoffset + out_w]
-    pred = (region + 32) >> 6
+            v = (dc[J, I] + 128) * (mode == 0)
+            if up1 is not None:
+                px = (xs[None, :] << mv_precision) + dx1[J, I]
+                py = (ys[:, None] << mv_precision) + dy1[J, I]
+                p1 = _fetch_pixels(up1, mv_precision, px, py)
+                v = v + (((wsum * p1 + half) >> ref_weight_precision)
+                         * (mode == 1))
+            if up2 is not None:
+                px = (xs[None, :] << mv_precision) + dx2[J, I]
+                py = (ys[:, None] << mv_precision) + dy2[J, I]
+                p2 = _fetch_pixels(up2, mv_precision, px, py)
+                v = v + (((wsum * p2 + half) >> ref_weight_precision)
+                         * (mode == 2))
+                if up1 is not None:
+                    v = v + (((ref1_weight * p1 + ref2_weight * p2 + half)
+                              >> ref_weight_precision) * (mode == 3))
+            acc = acc + v * wgt
+    pred = (acc + 32) >> 6
     return jnp.clip(pred, 0, 255) - 128
