@@ -28,7 +28,9 @@ class GopEncoder:
                  transform_depth: int = 3,
                  gop_length: int = 24,
                  base_qi_intra: int = 16,
-                 base_qi_inter: int = 20):
+                 base_qi_inter: int = 20,
+                 bitrate: int = 0,
+                 fps: float = 25.0):
         self.vf = video_format
         self.intra_wavelet = intra_wavelet
         self.inter_wavelet = inter_wavelet
@@ -43,6 +45,10 @@ class GopEncoder:
         self.prev_ref: Optional[int] = None
         self.ref_frames = {}
         self._chain = bs.OffsetChain()
+        self.rc = None
+        if bitrate:
+            from schroedinger_tpu.encoder.ratecontrol import CbrController
+            self.rc = CbrController(bitrate, fps, gop_length)
 
     def _params(self, num_refs: int) -> Params:
         p = Params(video_format=self.vf, num_refs=num_refs,
@@ -74,11 +80,30 @@ class GopEncoder:
             p = self._params(0)
             nb = subband_count(p.transform_depth)
             qm = np.asarray(p.quant_matrix[:nb], np.int32)
+            base = self.base_qi_intra
+            if self.rc:
+                import jax.numpy as jnp
+                from schroedinger_tpu.coding import slices as sl
+                from schroedinger_tpu.encoder.lowdelay import (_forward_jit,
+                                                               _prep_plane)
+                from schroedinger_tpu.encoder.ratecontrol import pick_base_qi
+                dims = [(p.iwt_luma_height, p.iwt_luma_width),
+                        (p.iwt_chroma_height, p.iwt_chroma_width),
+                        (p.iwt_chroma_height, p.iwt_chroma_width)]
+                band_lists = []
+                for plane, (oh, ow) in zip(planes, dims):
+                    prepped = _prep_plane(jnp.asarray(plane), oh, ow)
+                    pyr = _forward_jit(prepped, p.transform_depth,
+                                       p.wavelet_filter_index)
+                    band_lists.append(sl.subband_arrays(pyr, p.transform_depth))
+                base = pick_base_qi(band_lists, p,
+                                    self.rc.frame_target(True), intra=True,
+                                    correction=self.rc.correction)
             qis = {}
             for comp in range(3):
                 for i in range(nb):
                     hcb, vcb = ei_inter._codeblock_counts(p, i)
-                    qi = int(np.clip(self.base_qi_intra - qm[i], 0, 60))
+                    qi = int(np.clip(base - qm[i], 0, 60))
                     qis[(comp, i)] = np.full((vcb, hcb), qi, np.int32)
             unit = ei_intra.encode_picture(planes, p, num, quant_indices=qis,
                                            is_ref=True,
@@ -91,12 +116,18 @@ class GopEncoder:
             bs.read_transform_parameters(r, p)
             r.sync()
             recon = di_intra.decode_picture(unit[13 + r.bits_read // 8:], p)
+            if self.rc:
+                self.rc.update(len(unit) * 8)
         else:
             p = self._params(1)
-            unit, recon = ei_inter.encode_inter_picture(
+            target = self.rc.frame_target(False) if self.rc else None
+            unit, recon, used_qi = ei_inter.encode_inter_picture(
                 planes, p, num, self.last_ref, self.ref_frames[self.last_ref],
                 base_qi=self.base_qi_inter, is_ref=True,
-                retired=self.prev_ref)
+                retired=self.prev_ref, target_bits=target,
+                rc_correction=self.rc.correction if self.rc else 1.0)
+            if self.rc:
+                self.rc.update(len(unit) * 8)
         units.append(unit)
 
         if self.prev_ref is not None:

@@ -248,8 +248,11 @@ def write_prediction_parameters(w: BitWriter, p: Params) -> None:
 def encode_inter_picture(planes_u8, p: Params, frame_number: int,
                          ref1_num: int, ref1: RefFrame,
                          base_qi: int = 20, is_ref: bool = True,
-                         retired: Optional[int] = None):
-    """Encode one P picture. Returns (parse_unit_bytes, recon_planes)."""
+                         retired: Optional[int] = None,
+                         target_bits: Optional[int] = None,
+                         rc_correction: float = 1.0):
+    """Encode one P picture. Returns (parse_unit_bytes, recon_planes,
+    estimated_bits)."""
     assert _native is not None
     depth = p.transform_depth
     nb = subband_count(depth)
@@ -302,13 +305,23 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
         w.write_uint(p.codeblock_mode_index)
     w.sync()
 
-    recon_planes = []
+    pyramids = []
     for comp in range(3):
         oh, ow = iwt_dims[comp]
         res = _residual(jnp.asarray(planes_u8[comp]), preds[comp], oh, ow)
-        pyr = _forward_jit(res, depth, p.wavelet_filter_index)
-        bands = [np.asarray(b, dtype=np.int64)
-                 for b in sl.subband_arrays(pyr, depth)]
+        pyramids.append(_forward_jit(res, depth, p.wavelet_filter_index))
+
+    est_bits = None
+    if target_bits is not None:
+        from schroedinger_tpu.encoder import ratecontrol as rcmod
+        band_lists = [sl.subband_arrays(pyr, depth) for pyr in pyramids]
+        base_qi = rcmod.pick_base_qi(band_lists, p, target_bits, intra=False,
+                                     correction=rc_correction)
+
+    recon_planes = []
+    for comp in range(3):
+        pyr = pyramids[comp]
+        bands = [np.asarray(b) for b in sl.subband_arrays(pyr, depth)]
         deq_bands = [None] * nb
         for index in range(nb):
             hcb, vcb = _codeblock_counts(p, index)
@@ -345,4 +358,4 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
         recon_planes.append(np.asarray(
             _combine(rres, preds[comp], (h_pic, w_pic))))
     w.sync()
-    return w.get_bytes(), tuple(recon_planes)
+    return w.get_bytes(), tuple(recon_planes), base_qi

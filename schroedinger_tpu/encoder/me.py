@@ -37,15 +37,17 @@ def _block_sads(cur, ref, bs_y, bs_x, cands):
     c = cur.astype(jnp.int32)
     r = ref.astype(jnp.int32)
 
-    def one(d):
+    def one(_, d):
         dy, dx = d[0], d[1]
         shifted = jnp.roll(r, (-dy, -dx), axis=(0, 1))
         # rolled wrap-around is fine for decision purposes; penalize borders
         diff = jnp.abs(c - shifted)
         blocks = diff.reshape(H // bs_y, bs_y, W // bs_x, bs_x)
-        return blocks.sum(axis=(1, 3))
+        return None, blocks.sum(axis=(1, 3))
 
-    return jax.vmap(one)(cands)
+    # scan keeps the compiled graph small (one roll, K iterations)
+    _, sads = jax.lax.scan(one, None, cands)
+    return sads
 
 
 def _grid_cands(radius, step=1):
@@ -97,14 +99,25 @@ def make_me_fn(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                 xs = jnp.clip((jnp.arange(nbx) * hx) // nbx, 0, hx - 1)
                 hint = hint[ys[:, None], xs[None, :]]  # (nby, nbx, 2)
 
-                def sad_at(d):
-                    dd = hint + d[None, None, :]
-                    # gather block SADs at displaced positions via dynamic
-                    # per-block shifts: evaluate by shifting ref per candidate
-                    # offset around hint using take-based sampling
-                    return _sad_displaced(c, r, bs_y, bs_x, dd)
+                # align the reference to the hint field once (one gather),
+                # then the small refine becomes cheap rolls of the aligned
+                # reference (roll crossing a block boundary only perturbs
+                # the SAD of edge pixels — decision noise, not correctness)
+                yy = jnp.arange(h)
+                xx = jnp.arange(w)
+                dy_pix = jnp.repeat(jnp.repeat(hint[..., 0], bs_y, 0), bs_x, 1)
+                dx_pix = jnp.repeat(jnp.repeat(hint[..., 1], bs_y, 0), bs_x, 1)
+                src_y = jnp.clip(yy[:, None] + dy_pix, 0, h - 1)
+                src_x = jnp.clip(xx[None, :] + dx_pix, 0, w - 1)
+                aligned = r[src_y, src_x].astype(jnp.int32)
+                ci = c.astype(jnp.int32)
 
-                sads = jax.vmap(sad_at)(cands_refine)
+                def sad_at(_, d):
+                    shifted = jnp.roll(aligned, (-d[0], -d[1]), axis=(0, 1))
+                    diff = jnp.abs(ci - shifted)
+                    return None, diff.reshape(nby, bs_y, nbx, bs_x).sum((1, 3))
+
+                _, sads = jax.lax.scan(sad_at, None, cands_refine)
                 best = jnp.argmin(sads, axis=0)
                 mv = hint + cands_refine[best]
         return mv[..., 0], mv[..., 1]

@@ -1,0 +1,110 @@
+"""Rate control: TPU-vectorized bit estimation + CBR buffer model.
+
+The quantiser search evaluates the coded-bit estimate of a whole frame for
+all 61 base quant indices in one jitted pass (the reference's histogram
+RDO analog, schroquantiser.c:619-836, but exact sint-length sums instead of
+histogram interpolation), then the CBR driver picks the base index against
+the buffer model (schroencoder.c:183-545 analog, simplified).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from schroedinger_tpu import tables
+from schroedinger_tpu.params import Params, subband_count
+
+
+def _sint_bits(v):
+    m = jnp.abs(v.astype(jnp.int32))
+    n = 32 - jax.lax.clz(m + 1)
+    return 2 * n - 1 + (m != 0)
+
+
+@jax.jit
+def bits_per_base(flat_coeffs, qmo, intra_flag):
+    """Total sint-bit estimate of quantised coefficients for base 0..60.
+
+    flat_coeffs: (N,) int; qmo: (N,) per-coefficient quant-matrix offset.
+    Returns (61,) int64.
+    """
+    QF = jnp.asarray(tables.QUANT_FACTOR, jnp.int32)
+    QO_I = jnp.asarray(tables.QUANT_OFFSET_1_2, jnp.int32)
+    QO_P = jnp.asarray(tables.QUANT_OFFSET_3_8, jnp.int32)
+    v = flat_coeffs.astype(jnp.int32)
+
+    def one(base):
+        qi = jnp.clip(base - qmo, 0, 60)
+        qf = QF[qi]
+        qo = jnp.where(intra_flag, QO_I[qi], QO_P[qi])
+        x = jnp.abs(v) << 2
+        offset = qo - qf // 2
+        mag = jnp.where(x < qo, 0, (x - offset) // qf)
+        return _sint_bits(mag).astype(jnp.int64).sum()
+
+    return jax.lax.map(one, jnp.arange(61, dtype=jnp.int32))
+
+
+def pick_base_qi(band_lists, p: Params, target_bits: int,
+                 intra: bool, correction: float = 1.0) -> int:
+    """Choose the base quant index whose estimated frame bits fit the target.
+
+    band_lists: per-component list of subband arrays (device or host).
+    correction: measured arith-vs-estimate ratio (EMA updated by the caller).
+    """
+    nb = subband_count(p.transform_depth)
+    qm = np.asarray(p.quant_matrix[:nb], np.int32)
+    flats = []
+    qmos = []
+    for bands in band_lists:
+        for i, b in enumerate(bands):
+            arr = jnp.ravel(jnp.asarray(b))
+            flats.append(arr)
+            qmos.append(jnp.full(arr.shape, qm[i], jnp.int32))
+    flat = jnp.concatenate(flats)
+    qmo = jnp.concatenate(qmos)
+    bits = np.asarray(bits_per_base(flat, qmo, jnp.asarray(intra)))
+    bits = bits * correction
+    # smallest base whose estimate fits; favor quality when everything fits
+    fits = np.nonzero(bits <= target_bits)[0]
+    if len(fits) == 0:
+        return 60
+    return int(fits[0])
+
+
+class CbrController:
+    """Leaky-bucket CBR: per-frame bit targets with buffer feedback and an
+    online arith-vs-estimate correction (EMA 0.9/0.1 as the reference)."""
+
+    def __init__(self, bitrate: int, fps: float, gop_length: int,
+                 intra_weight: float = 4.0, buffer_frames: float = 8.0):
+        self.bits_per_frame = bitrate / fps
+        self.gop_length = gop_length
+        self.intra_weight = intra_weight
+        self.buffer_size = self.bits_per_frame * buffer_frames
+        self.buffer_level = self.buffer_size / 2
+        self.correction = 1.0
+        n_inter = gop_length - 1
+        total_w = intra_weight + n_inter
+        self.intra_target = self.bits_per_frame * gop_length * \
+            intra_weight / total_w
+        self.inter_target = self.bits_per_frame * gop_length / total_w
+
+    def frame_target(self, is_intra: bool) -> int:
+        base = self.intra_target if is_intra else self.inter_target
+        # buffer feedback: spend more when the buffer is full
+        fullness = self.buffer_level / self.buffer_size
+        adj = 0.5 + fullness
+        return max(1000, int(base * adj))
+
+    def update(self, actual_bits: int, estimated_bits: int | None = None):
+        self.buffer_level += self.bits_per_frame - actual_bits
+        self.buffer_level = min(max(self.buffer_level, 0.0), self.buffer_size)
+        if estimated_bits and estimated_bits > 200:
+            ratio = actual_bits / estimated_bits
+            self.correction = 0.9 * self.correction + 0.1 * ratio

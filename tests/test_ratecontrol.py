@@ -1,0 +1,31 @@
+"""CBR rate control: streams must hit the requested bitrate within tolerance
+and still decode exactly in the reference decoder."""
+import numpy as np
+import pytest
+
+from oracle import schro_oracle as so
+from schroedinger_tpu.decoder.core import StreamDecoder
+from schroedinger_tpu.encoder.gop import GopEncoder
+from schroedinger_tpu.video_format import ChromaFormat, VideoFormat
+from tests.test_gop_encoder import make_frames, W, H
+
+
+def test_cbr_hits_bitrate():
+    frames = make_frames(8)
+    fps = 25
+    bitrate = 1_500_000
+    vf = VideoFormat(width=W, height=H, clean_width=W, clean_height=H,
+                     chroma_format=ChromaFormat.C420,
+                     frame_rate_numerator=fps, frame_rate_denominator=1)
+    enc = GopEncoder(vf, gop_length=8, bitrate=bitrate, fps=fps)
+    stream = enc.encode_stream(frames)
+
+    achieved = len(stream) * 8 * fps / len(frames)
+    assert 0.4 * bitrate < achieved < 1.8 * bitrate, achieved
+
+    # conformance: reference decoder agrees with ours
+    mine = StreamDecoder().decode_stream(stream)
+    ref = so.decode(stream, W, H)
+    for g3, r3 in zip(mine, ref):
+        for g, r in zip(g3, r3):
+            np.testing.assert_array_equal(g, r)
