@@ -107,6 +107,22 @@ def make_eos_unit() -> bytes:
     return w.get_bytes()
 
 
+# Auxiliary data codes (schrobitstream.h:141-146)
+AUX_ENCODER_STRING = 1
+AUX_SMPTE_12M_TIMECODE = 2
+AUX_MD5_CHECKSUM = 3
+AUX_BITRATE = 4
+
+
+def make_aux_unit(aux_code: int, data: bytes) -> bytes:
+    w = BitWriter()
+    write_parse_info(w, AUXILIARY_DATA)
+    w.write_bits(8, aux_code)
+    for b in data:
+        w.write_bits(8, b)
+    return w.get_bytes()
+
+
 # ---------------------------------------------------------------------------
 # Sequence header
 

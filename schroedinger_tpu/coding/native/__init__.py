@@ -281,3 +281,17 @@ def motion_encode(mv: dict, x_num_blocks, y_num_blocks, num_refs,
         else:
             bufs.append(out[offsets[s]:offsets[s] + lengths[s]].tobytes())
     return bufs
+
+
+def frame_md5(planes):
+    """schro_frame_md5: raw row-padded MD5 over Y,U,V planes -> 16 bytes."""
+    if not hasattr(_lib, "_md5_ready"):
+        _lib.frame_md5.restype = None
+        _lib.frame_md5.argtypes = [_u8p, C.c_int, C.c_int, _u8p, _u8p,
+                                   C.c_int, C.c_int, _u8p]
+        _lib._md5_ready = True
+    y, u, v = (np.ascontiguousarray(p, np.uint8) for p in planes)
+    out = np.zeros(16, dtype=np.uint8)
+    _lib.frame_md5(y, y.shape[1], y.shape[0], u, v,
+                   u.shape[1], u.shape[0], out)
+    return out.tobytes()

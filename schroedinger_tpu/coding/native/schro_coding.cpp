@@ -1472,3 +1472,87 @@ int64_t motion_encode(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// schro_frame_md5: raw MD5 compression rounds over each row zero-padded to a
+// 64-byte multiple, planes Y,U,V in order; no standard MD5 finalization
+// (schroframe.c:1819-1847, schroutils.c schro_md5).
+
+extern "C" {
+
+namespace {
+
+static const uint32_t MD5_K[64] = {
+    0xd76aa478, 0xe8c7b756, 0x242070db, 0xc1bdceee, 0xf57c0faf, 0x4787c62a,
+    0xa8304613, 0xfd469501, 0x698098d8, 0x8b44f7af, 0xffff5bb1, 0x895cd7be,
+    0x6b901122, 0xfd987193, 0xa679438e, 0x49b40821, 0xf61e2562, 0xc040b340,
+    0x265e5a51, 0xe9b6c7aa, 0xd62f105d, 0x02441453, 0xd8a1e681, 0xe7d3fbc8,
+    0x21e1cde6, 0xc33707d6, 0xf4d50d87, 0x455a14ed, 0xa9e3e905, 0xfcefa3f8,
+    0x676f02d9, 0x8d2a4c8a, 0xfffa3942, 0x8771f681, 0x6d9d6122, 0xfde5380c,
+    0xa4beea44, 0x4bdecfa9, 0xf6bb4b60, 0xbebfbc70, 0x289b7ec6, 0xeaa127fa,
+    0xd4ef3085, 0x04881d05, 0xd9d4d039, 0xe6db99e5, 0x1fa27cf8, 0xc4ac5665,
+    0xf4292244, 0x432aff97, 0xab9423a7, 0xfc93a039, 0x655b59c3, 0x8f0ccc92,
+    0xffeff47d, 0x85845dd1, 0x6fa87e4f, 0xfe2ce6e0, 0xa3014314, 0x4e0811a1,
+    0xf7537e82, 0xbd3af235, 0x2ad7d2bb, 0xeb86d391};
+
+static const int MD5_R[64] = {
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21};
+
+static inline uint32_t rotl(uint32_t x, int c) {
+  return (x << c) | (x >> (32 - c));
+}
+
+static void md5_block(uint32_t* state, const uint32_t* m) {
+  uint32_t a = state[0], b = state[1], c = state[2], d = state[3];
+  for (int i = 0; i < 64; i++) {
+    uint32_t f;
+    int g;
+    if (i < 16) { f = (b & c) | (~b & d); g = i; }
+    else if (i < 32) { f = (d & b) | (~d & c); g = (5 * i + 1) & 15; }
+    else if (i < 48) { f = b ^ c ^ d; g = (3 * i + 5) & 15; }
+    else { f = c ^ (b | ~d); g = (7 * i) & 15; }
+    uint32_t tmp = d;
+    d = c;
+    c = b;
+    b = b + rotl(a + f + MD5_K[i] + m[g], MD5_R[i]);
+    a = tmp;
+  }
+  state[0] += a; state[1] += b; state[2] += c; state[3] += d;
+}
+
+}  // namespace
+
+void frame_md5(const uint8_t* y, int yw, int yh,
+               const uint8_t* u, const uint8_t* v, int cw, int ch,
+               uint8_t* out16) {
+  uint32_t state[4] = {0x67452301, 0xefcdab89, 0x98badcfe, 0x10325476};
+  const uint8_t* planes[3] = {y, u, v};
+  int ws[3] = {yw, cw, cw};
+  int hs[3] = {yh, ch, ch};
+  for (int k = 0; k < 3; k++) {
+    int w = ws[k], h = hs[k];
+    for (int j = 0; j < h; j++) {
+      const uint8_t* line = planes[k] + (int64_t)j * w;
+      int x = 0;
+      for (; x + 63 < w; x += 64) {
+        uint32_t m[16];
+        memcpy(m, line + x, 64);
+        md5_block(state, m);
+      }
+      if (x < w) {
+        uint8_t tmp[64];
+        memset(tmp, 0, 64);
+        memcpy(tmp, line + x, w - x);
+        uint32_t m[16];
+        memcpy(m, tmp, 64);
+        md5_block(state, m);
+      }
+    }
+  }
+  memcpy(out16, state, 16);
+}
+
+}  // extern "C"

@@ -166,6 +166,8 @@ class StreamDecoder:
     def __init__(self):
         self.vf: Optional[VideoFormat] = None
         self.refs: Dict[int, RefFrame] = {}
+        self._pending_md5: Optional[bytes] = None
+        self.md5_failures: List[int] = []
 
     def _render_inter(self, p: Params, mv, ref1: RefFrame,
                       ref2: Optional[RefFrame], residual_planes):
@@ -299,8 +301,15 @@ class StreamDecoder:
         for code, payload in bs.split_units(stream):
             if code == bs.SEQUENCE_HEADER:
                 self.vf = bs.read_sequence_header(BitReader(payload)).video_format
+            elif code == bs.AUXILIARY_DATA:
+                if len(payload) >= 17 and payload[0] == 3:  # MD5 checksum
+                    self._pending_md5 = payload[1:17]
             elif bs.is_picture(code):
                 num, planes = self.decode_picture_unit(code, payload)
+                if self._pending_md5 is not None and _native is not None:
+                    if _native.frame_md5(planes) != self._pending_md5:
+                        self.md5_failures.append(num)
+                    self._pending_md5 = None
                 out.append((num, planes))
         if presentation_order:
             out.sort(key=lambda t: t[0])

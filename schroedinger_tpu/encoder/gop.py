@@ -30,7 +30,8 @@ class GopEncoder:
                  base_qi_intra: int = 16,
                  base_qi_inter: int = 20,
                  bitrate: int = 0,
-                 fps: float = 25.0):
+                 fps: float = 25.0,
+                 enable_md5: bool = False):
         self.vf = video_format
         self.intra_wavelet = intra_wavelet
         self.inter_wavelet = inter_wavelet
@@ -45,6 +46,7 @@ class GopEncoder:
         self.prev_ref: Optional[int] = None
         self.ref_frames = {}
         self._chain = bs.OffsetChain()
+        self.enable_md5 = enable_md5
         self.rc = None
         if bitrate:
             from schroedinger_tpu.encoder.ratecontrol import CbrController
@@ -128,6 +130,10 @@ class GopEncoder:
                 rc_correction=self.rc.correction if self.rc else 1.0)
             if self.rc:
                 self.rc.update(len(unit) * 8)
+        if self.enable_md5:
+            from schroedinger_tpu.coding import native as _native
+            units.append(bs.make_aux_unit(bs.AUX_MD5_CHECKSUM,
+                                          _native.frame_md5(recon)))
         units.append(unit)
 
         if self.prev_ref is not None:

@@ -52,3 +52,26 @@ def test_gop_stream_decodes_in_reference_decoder():
     for n, (g3, orig) in enumerate(zip(mine, frames)):
         p = psnr(g3[0], orig[0])
         assert p > 30, f"frame {n} luma PSNR {p:.1f} too low"
+
+
+def test_md5_auxiliary_data():
+    frames = make_frames(3)
+    vf = VideoFormat(width=W, height=H, clean_width=W, clean_height=H,
+                     chroma_format=ChromaFormat.C420,
+                     frame_rate_numerator=25, frame_rate_denominator=1)
+    enc = GopEncoder(vf, base_qi_intra=12, base_qi_inter=16, enable_md5=True)
+    stream = enc.encode_stream(frames)
+    dec = StreamDecoder()
+    out = dec.decode_stream(stream)
+    assert len(out) == len(frames)
+    assert dec.md5_failures == []
+    # corrupt one byte of the last picture payload: MD5 must catch it
+    bad = bytearray(stream)
+    bad[-30] ^= 0x40
+    dec2 = StreamDecoder()
+    try:
+        dec2.decode_stream(bytes(bad))
+    except Exception:
+        pass
+    else:
+        assert dec2.md5_failures, "corruption not detected"
