@@ -15,6 +15,14 @@ from schroedinger_tpu.coding import slices as sl
 from schroedinger_tpu.coding import subband as sb
 from schroedinger_tpu.coding.bitio import BitReader
 from schroedinger_tpu.decoder.lowdelay import _inverse_jit, _to_u8
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _to_deep(plane_s32, h: int, w: int, bit_depth: int):
+    x = plane_s32[:h, :w].astype(jnp.int32) + (1 << (bit_depth - 1))
+    return jnp.clip(x, 0, (1 << bit_depth) - 1).astype(jnp.uint16)
 from schroedinger_tpu.params import (Params, subband_count, subband_info,
                                      subband_position)
 
@@ -100,11 +108,17 @@ def decode_picture(payload: bytes, p: Params):
                     p.codeblock_mode_index == 1, is_intra=(p.num_refs == 0))
         if p.num_refs == 0:
             bands[0] = dc_predict_integrate_np(bands[0])
+        bit_depth = p.video_format.bit_depth
+        dt = np.int32 if bit_depth > 8 else np.int16
         pyr = sl.arrays_to_pyramid(
-            [jnp.asarray(np.asarray(b, dtype=np.int16)) for b in bands], depth)
+            [jnp.asarray(np.asarray(b, dtype=dt)) for b in bands], depth)
         planes.append(_inverse_jit(pyr, p.wavelet_filter_index))
 
     out = []
+    bit_depth = p.video_format.bit_depth
     for plane, (w_pic, h_pic) in zip(planes, pic_sizes):
-        out.append(np.asarray(_to_u8(plane, h_pic, w_pic)))
+        if bit_depth > 8:
+            out.append(np.asarray(_to_deep(plane, h_pic, w_pic, bit_depth)))
+        else:
+            out.append(np.asarray(_to_u8(plane, h_pic, w_pic)))
     return tuple(out)

@@ -19,6 +19,16 @@ from schroedinger_tpu.coding import slices as sl
 from schroedinger_tpu.coding import subband as sb
 from schroedinger_tpu.coding.bitio import BitWriter as _BW
 from schroedinger_tpu.encoder.lowdelay import _prep_plane, _forward_jit
+
+from functools import partial
+import jax
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _prep_plane_deep(plane_u16, out_h: int, out_w: int, bit_depth: int):
+    x = plane_u16.astype(jnp.int32) - (1 << (bit_depth - 1))
+    h, w = x.shape
+    return jnp.pad(x, ((0, out_h - h), (0, out_w - w)), mode="edge")
 from schroedinger_tpu.params import (Params, subband_count, subband_info,
                                      subband_position)
 
@@ -53,8 +63,12 @@ def encode_picture(planes_u8, p: Params, frame_number: int,
     write_transform_parameters(w, p)
     w.sync()
 
+    bit_depth = p.video_format.bit_depth
     for comp, (plane, (oh, ow)) in enumerate(zip(planes_u8, iwt_dims)):
-        prepped = _prep_plane(jnp.asarray(plane), oh, ow)
+        if bit_depth > 8:
+            prepped = _prep_plane_deep(jnp.asarray(plane), oh, ow, bit_depth)
+        else:
+            prepped = _prep_plane(jnp.asarray(plane), oh, ow)
         pyr = _forward_jit(prepped, depth, p.wavelet_filter_index)
         bands = [np.asarray(b, dtype=np.int64)
                  for b in sl.subband_arrays(pyr, depth)]
