@@ -1,8 +1,14 @@
 """Public push/pull codec API (SchroEncoder/SchroDecoder equivalents).
 
 Mirrors the reference's state-machine API (schroencoder.h:442-476,
-schrodecoder.h:179-203) with a Pythonic surface: push frames, pull parse
-units; the decoder accepts whole streams or incremental buffers.
+schrodecoder.h:179-203) with a Pythonic surface. The encoder dispatches on
+force_profile / rate_control exactly like schro_encoder_start
+(schroencoder.c:670-745):
+
+  vc2_low_delay -> VC-2 low-delay slices (fixed-byte, no arith)
+  vc2_simple    -> intra-only, VLC residuals (no arith)
+  vc2_main      -> intra-only, arithmetic coding
+  main          -> long-GOP motion-compensated coding (CBR or constant qi)
 """
 from __future__ import annotations
 
@@ -16,7 +22,7 @@ from schroedinger_tpu.coding.bitio import BitReader
 from schroedinger_tpu.config import EncoderConfig
 from schroedinger_tpu.decoder import lowdelay as lod
 from schroedinger_tpu.encoder import lowdelay as loe
-from schroedinger_tpu.params import Params
+from schroedinger_tpu.params import Params, subband_count
 from schroedinger_tpu.video_format import VideoFormat
 from schroedinger_tpu.wavelets import MAX_DEPTH_S16, Wavelet
 
@@ -27,22 +33,50 @@ def _reduce_fraction(n: int, d: int) -> Tuple[int, int]:
     return n // g, d // g
 
 
-class Encoder:
-    """Dirac/VC-2 encoder. Currently supports the VC-2 low-delay profile;
-    Dirac intra and long-GOP profiles land via encoder/intra.py and
-    encoder/gop.py."""
+def _quality_to_qi(quality: float) -> int:
+    """Monotone quality (0..10) -> base quant index; 10 is lossless."""
+    return int(np.clip(round((10.0 - quality) * 5.0), 0, 60))
 
-    def __init__(self, video_format: VideoFormat, config: Optional[EncoderConfig] = None):
+
+class Encoder:
+    """Dirac/VC-2 encoder with profile dispatch matching the reference."""
+
+    def __init__(self, video_format: VideoFormat,
+                 config: Optional[EncoderConfig] = None):
         self.vf = video_format
         self.cfg = config or EncoderConfig()
         self.frame_number = 0
         self._out: List[bytes] = []
         self._chain = bs.OffsetChain()
+        self._gop = None
+        self.profile = self._resolve_profile()
 
-        if self.cfg.rate_control != "low_delay":
-            raise NotImplementedError(
-                f"rate control {self.cfg.rate_control!r} not yet implemented")
+        if self.profile == "vc2_low_delay":
+            self._init_lowdelay()
+        elif self.profile in ("vc2_simple", "vc2_main"):
+            self._init_intra()
+        else:
+            self._init_gop()
 
+    def _resolve_profile(self) -> str:
+        fp = self.cfg.get("force_profile")
+        if isinstance(fp, (int, float)):
+            from schroedinger_tpu.config import PROFILES
+            fp = PROFILES[int(fp)]
+        if fp and fp != "auto":
+            return fp
+        rc = self.cfg.rate_control
+        if rc == "low_delay":
+            return "vc2_low_delay"
+        if self.cfg.enable_noarith:
+            return "vc2_simple"
+        if self.cfg.gop_structure == "intra_only":
+            return "vc2_main"
+        return "main"
+
+    # ---- profile setups -------------------------------------------------
+
+    def _init_lowdelay(self) -> None:
         depth = min(self.cfg.transform_depth,
                     MAX_DEPTH_S16[Wavelet(self.cfg.intra_wavelet)])
         p = Params(video_format=self.vf, is_lowdelay=True, num_refs=0,
@@ -67,9 +101,67 @@ class Encoder:
         p.slice_bytes_num, p.slice_bytes_denom = _reduce_fraction(num, denom)
         self.params = p
 
-    def push_frame(self, planes: Tuple[np.ndarray, np.ndarray, np.ndarray]) -> None:
-        units = [bs.write_sequence_header(self.vf, profile=0, level=0),
-                 loe.encode_picture(planes, self.params, self.frame_number)]
+    def _init_intra(self) -> None:
+        wavelet = Wavelet(self.cfg.intra_wavelet)
+        depth = min(self.cfg.transform_depth, MAX_DEPTH_S16[wavelet])
+        p = Params(video_format=self.vf, num_refs=0,
+                   is_noarith=(self.profile == "vc2_simple"),
+                   wavelet_filter_index=wavelet, transform_depth=depth)
+        p.set_default_codeblocks()
+        if p.is_noarith:
+            # avoid the reference decoder's quant-offset compat ambiguity
+            p.codeblock_mode_index = 0
+        p.set_default_quant_matrix()
+        self.params = p
+        if self.cfg.rate_control == "lossless":
+            self._base_qi = 0
+        else:
+            self._base_qi = _quality_to_qi(float(self.cfg.get("quality")))
+
+    def _init_gop(self) -> None:
+        from schroedinger_tpu.encoder.gop import GopEncoder
+        bitrate = self.cfg.bitrate if self.cfg.rate_control == "constant_bitrate" \
+            else 0
+        fps = self.vf.frame_rate_numerator / self.vf.frame_rate_denominator
+        qi = (0 if self.cfg.rate_control == "lossless"
+              else _quality_to_qi(float(self.cfg.get("quality"))))
+        self._gop = GopEncoder(
+            self.vf,
+            intra_wavelet=Wavelet(self.cfg.intra_wavelet),
+            inter_wavelet=Wavelet(self.cfg.inter_wavelet),
+            transform_depth=self.cfg.transform_depth,
+            gop_length=min(self.cfg.au_distance, 24),
+            base_qi_intra=qi, base_qi_inter=min(60, qi + 4),
+            bitrate=bitrate, fps=fps,
+            enable_md5=self.cfg.enable_md5)
+
+    # ---- push/pull ------------------------------------------------------
+
+    def push_frame(self, planes) -> None:
+        if self._gop is not None:
+            self._out.append(self._gop.encode_frame(planes))
+            self.frame_number += 1
+            return
+        if self.profile == "vc2_low_delay":
+            units = [bs.write_sequence_header(self.vf, profile=0, level=0),
+                     loe.encode_picture(planes, self.params, self.frame_number)]
+        else:
+            from schroedinger_tpu.encoder import intra as ei
+            p = self.params
+            nb = subband_count(p.transform_depth)
+            qm = p.quant_matrix[:nb]
+            qis = {}
+            from schroedinger_tpu.encoder.inter import _codeblock_counts
+            for comp in range(3):
+                for i in range(nb):
+                    hcb, vcb = _codeblock_counts(p, i)
+                    qi = int(np.clip(self._base_qi - qm[i], 0, 60))
+                    qis[(comp, i)] = np.full((vcb, hcb), qi, np.int32)
+            prof_num = 1 if self.profile == "vc2_simple" else 2
+            units = [bs.write_sequence_header(self.vf, profile=prof_num,
+                                              level=0),
+                     ei.encode_picture(planes, p, self.frame_number,
+                                       quant_indices=qis, is_ref=False)]
         self._out.append(self._chain.add(units))
         self.frame_number += 1
 
@@ -79,11 +171,23 @@ class Encoder:
         return None
 
     def end_of_stream(self) -> bytes:
+        if self._gop is not None:
+            return self._gop._chain.add([bs.make_eos_unit()], final_eos=True)
         return self._chain.add([bs.make_eos_unit()], final_eos=True)
 
     def encode_stream(self, frames) -> bytes:
-        """Pipelined encode: TPU transform/transfer of frame N+1 overlaps the
-        native entropy packing of frame N (two host threads, async device)."""
+        if self.profile == "vc2_low_delay":
+            return self._encode_stream_lowdelay(frames)
+        out = bytearray()
+        for f in frames:
+            self.push_frame(f)
+            out += self.pull()
+        out += self.end_of_stream()
+        return bytes(out)
+
+    def _encode_stream_lowdelay(self, frames) -> bytes:
+        """Pipelined low-delay encode: TPU transform/transfer of frame N+1
+        overlaps the native entropy packing of frame N."""
         import concurrent.futures as cf
 
         try:
@@ -105,22 +209,22 @@ class Encoder:
         def fetch(dev_arrays):
             return [np.asarray(a) for a in dev_arrays]
 
+        import jax.numpy as jnp
         with cf.ThreadPoolExecutor(max_workers=1) as pool:
-            pending = None  # (future of host arrays, frame_number)
+            pending = None
             for f in frames:
-                import jax.numpy as jnp
                 dev = transform(*[jnp.asarray(pl) for pl in f])
                 fut = pool.submit(fetch, dev)
                 if pending is not None:
-                    self._emit(pending, out)
+                    self._emit_lowdelay(pending, out)
                 pending = (fut, self.frame_number)
                 self.frame_number += 1
             if pending is not None:
-                self._emit(pending, out)
+                self._emit_lowdelay(pending, out)
         out += self.end_of_stream()
         return bytes(out)
 
-    def _emit(self, pending, out: bytearray) -> None:
+    def _emit_lowdelay(self, pending, out: bytearray) -> None:
         from schroedinger_tpu.encoder.lowdelay import encode_picture_from_slices
         fut, fnum = pending
         ys, us, vs = fut.result()
@@ -131,27 +235,15 @@ class Encoder:
 
 
 class Decoder:
-    """Dirac/VC-2 decoder. Accepts a full stream; low-delay profile."""
+    """Dirac/VC-2 decoder: full streams, every picture type."""
 
     def __init__(self):
-        self.vf: Optional[VideoFormat] = None
+        from schroedinger_tpu.decoder.core import StreamDecoder
+        self._core = StreamDecoder()
+
+    @property
+    def md5_failures(self):
+        return self._core.md5_failures
 
     def decode_stream(self, stream: bytes):
-        frames = []
-        for code, payload in bs.split_units(stream):
-            if code == bs.SEQUENCE_HEADER:
-                self.vf = bs.read_sequence_header(BitReader(payload)).video_format
-            elif bs.is_picture(code):
-                if not bs.is_lowdelay(code):
-                    raise NotImplementedError("only low-delay pictures supported")
-                r = BitReader(payload)
-                frame_number = r.read_bits(32)
-                if bs.is_reference(code):
-                    r.read_sint()
-                r.sync()
-                p = Params(video_format=self.vf, is_lowdelay=True,
-                           num_refs=bs.num_refs(code))
-                bs.read_transform_parameters(r, p)
-                r.sync()
-                frames.append(lod.decode_picture(payload[r.bits_read // 8:], p))
-        return frames
+        return self._core.decode_stream(stream)

@@ -96,8 +96,14 @@ def encode_picture(planes_u8, p: Params, frame_number: int,
 
             parent_deq = deq_bands[index - 3] if position >= 4 else None
             have_qo = p.codeblock_mode_index == 1
-            payload, first_qi = sb.encode_subband_arith(
-                qdata, parent_deq, position, hcb, vcb, have_qo, qi_arr)
+            if p.is_noarith:
+                from schroedinger_tpu.coding import native as _nat
+                payload = _nat.encode_subband_noarith(
+                    qdata, position, hcb, vcb, have_qo)
+                first_qi = int(qi_arr[0, 0])
+            else:
+                payload, first_qi = sb.encode_subband_arith(
+                    qdata, parent_deq, position, hcb, vcb, have_qo, qi_arr)
             w.write_uint(len(payload))
             if first_qi == -1:
                 first_qi = int(qi_arr[0, 0])

@@ -89,3 +89,34 @@ def test_intra_decoder_matches_oracle(oracle_stream):
         for g, orig, name in zip(got, planes, "yuv"):
             np.testing.assert_array_equal(g, orig,
                                           err_msg=f"lossless {frame_number} {name}")
+
+
+def test_noarith_intra_roundtrip():
+    """VC-2 simple profile (no-arith) encode: our decoder and the reference
+    decoder must both reconstruct it identically."""
+    from schroedinger_tpu.params import Params as P2
+    from schroedinger_tpu.video_format import ChromaFormat, VideoFormat
+    from schroedinger_tpu.wavelets import Wavelet
+    from schroedinger_tpu.decoder.core import StreamDecoder
+
+    frames = make_frames(1)
+    vf = VideoFormat(width=W, height=H, clean_width=W, clean_height=H,
+                     chroma_format=ChromaFormat.C420,
+                     frame_rate_numerator=25, frame_rate_denominator=1)
+    p = P2(video_format=vf, num_refs=0, is_noarith=True, transform_depth=3,
+           wavelet_filter_index=Wavelet.LE_GALL_5_3)
+    p.set_default_codeblocks()
+    # no-arith streams avoid the reference's quant-offset ambiguity
+    # (schro_decoder_test_quant_offset_compat) by not using per-codeblock
+    # quant offsets at all
+    p.codeblock_mode_index = 0
+    unit = ei.encode_picture(frames[0], p, 0, quant_indices=8, is_ref=False)
+    units = [bs.write_sequence_header(vf, profile=1, level=0), unit,
+             bs.make_eos_unit()]
+    stream = bs.fixup_offsets(units)
+
+    mine = StreamDecoder().decode_stream(stream)
+    ref = so.decode(stream, W, H)
+    assert len(mine) == 1 and len(ref) >= 1
+    for g, r in zip(mine[0], ref[0]):
+        np.testing.assert_array_equal(g, r)
