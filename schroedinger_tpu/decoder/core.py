@@ -40,7 +40,8 @@ class RefFrame:
 
     def get_upsampled(self):
         if self.upsampled is None:
-            self.upsampled = [np.asarray(_upsample_jit(jnp.asarray(p)))
+            # device arrays: consumed directly by the jitted OBMC render
+            self.upsampled = [_upsample_jit(jnp.asarray(p))
                               for p in self.planes]
         return self.upsampled
 
@@ -172,43 +173,19 @@ class StreamDecoder:
     def _render_inter(self, p: Params, mv, ref1: RefFrame,
                       ref2: Optional[RefFrame], residual_planes):
         vfmt = p.video_format
-        h_shift = vfmt.chroma_format.h_shift
-        v_shift = vfmt.chroma_format.v_shift
-        xnb, ynb = p.x_num_blocks, p.y_num_blocks
-        up1 = ref1.get_upsampled()
-        up2 = ref2.get_upsampled() if ref2 is not None else [None] * 3
-
-        out_planes = []
+        mvj = {k: jnp.asarray(v) for k, v in mv.items()}
+        render = obmc.make_render_fn(p, 2 if ref2 is not None else 1)
+        if ref2 is not None:
+            preds = render(mvj, tuple(ref1.get_upsampled()),
+                           tuple(ref2.get_upsampled()))
+        else:
+            preds = render(mvj, tuple(ref1.get_upsampled()))
         pic_sizes = [vfmt.picture_luma_size(), vfmt.picture_chroma_size(),
                      vfmt.picture_chroma_size()]
-        for k in range(3):
-            if k == 0:
-                xblen, yblen = p.xblen_luma, p.yblen_luma
-                xbsep, ybsep = p.xbsep_luma, p.ybsep_luma
-                hs = vs = 0
-            else:
-                xblen = p.xblen_luma >> h_shift
-                yblen = p.yblen_luma >> v_shift
-                xbsep = p.xbsep_luma >> h_shift
-                ybsep = p.ybsep_luma >> v_shift
-                hs, vs = h_shift, v_shift
-            (w_pic, h_pic) = pic_sizes[k]
-            weights = jnp.asarray(obmc.obmc_weight_grids(
-                xnb, ynb, xblen, yblen, xbsep, ybsep,
-                xbsep * xnb, ybsep * ynb))
-            dc = {0: mv["dc0"], 1: mv["dc1"], 2: mv["dc2"]}[k]
-            pred = obmc.render_component(
-                jnp.asarray(mv["dx1"]), jnp.asarray(mv["dy1"]),
-                jnp.asarray(mv["dx2"]), jnp.asarray(mv["dy2"]),
-                jnp.asarray(mv["pred_mode"]), jnp.asarray(dc),
-                jnp.asarray(up1[k]) if up1[k] is not None else None,
-                jnp.asarray(up2[k]) if up2[k] is not None else None,
-                weights, xblen, yblen, xbsep, ybsep, p.mv_precision,
-                p.picture_weight_1, p.picture_weight_2, p.picture_weight_bits,
-                h_pic, w_pic, hs, vs)
-            out_planes.append(np.asarray(
-                _combine(residual_planes[k], pred, (h_pic, w_pic))))
-        return tuple(out_planes)
+        return tuple(
+            np.asarray(_combine(residual_planes[k], preds[k],
+                                (pic_sizes[k][1], pic_sizes[k][0])))
+            for k in range(3))
 
     def decode_picture_unit(self, code: int, payload: bytes):
         r = BitReader(payload)

@@ -168,40 +168,14 @@ def estimate_motion(planes_u8, ref: RefFrame, p: Params, lambda_dc=1.1):
 
 def render_prediction(mv, p: Params, ref1: RefFrame,
                       ref2: Optional[RefFrame] = None):
-    """OBMC prediction planes (s16, offset removed) — same kernel the
+    """OBMC prediction planes (s16, offset removed) — same jitted kernel the
     decoder uses, so encoder/decoder reconstructions match exactly."""
-    vf = p.video_format
-    h_shift = vf.chroma_format.h_shift
-    v_shift = vf.chroma_format.v_shift
-    xnb, ynb = p.x_num_blocks, p.y_num_blocks
-    up1 = ref1.get_upsampled()
-    up2 = ref2.get_upsampled() if ref2 is not None else [None] * 3
-    preds = []
-    pic_sizes = [vf.picture_luma_size(), vf.picture_chroma_size(),
-                 vf.picture_chroma_size()]
-    for k in range(3):
-        if k == 0:
-            xblen, yblen = p.xblen_luma, p.yblen_luma
-            xbsep, ybsep = p.xbsep_luma, p.ybsep_luma
-            hs = vs = 0
-        else:
-            xblen, yblen = p.xblen_luma >> h_shift, p.yblen_luma >> v_shift
-            xbsep, ybsep = p.xbsep_luma >> h_shift, p.ybsep_luma >> v_shift
-            hs, vs = h_shift, v_shift
-        (w_pic, h_pic) = pic_sizes[k]
-        weights = jnp.asarray(obmc.obmc_weight_grids(
-            xnb, ynb, xblen, yblen, xbsep, ybsep, xbsep * xnb, ybsep * ynb))
-        dc = {0: mv["dc0"], 1: mv["dc1"], 2: mv["dc2"]}[k]
-        preds.append(obmc.render_component(
-            jnp.asarray(mv["dx1"]), jnp.asarray(mv["dy1"]),
-            jnp.asarray(mv["dx2"]), jnp.asarray(mv["dy2"]),
-            jnp.asarray(mv["pred_mode"]), jnp.asarray(dc),
-            jnp.asarray(up1[k]) if up1[k] is not None else None,
-            jnp.asarray(up2[k]) if up2[k] is not None else None,
-            weights, xblen, yblen, xbsep, ybsep, p.mv_precision,
-            p.picture_weight_1, p.picture_weight_2, p.picture_weight_bits,
-            h_pic, w_pic, hs, vs))
-    return preds
+    mvj = {k: jnp.asarray(v) for k, v in mv.items()}
+    render = obmc.make_render_fn(p, 2 if ref2 is not None else 1)
+    if ref2 is not None:
+        return render(mvj, tuple(ref1.get_upsampled()),
+                      tuple(ref2.get_upsampled()))
+    return render(mvj, tuple(ref1.get_upsampled()))
 
 
 @partial(jax.jit, static_argnums=(2, 3))

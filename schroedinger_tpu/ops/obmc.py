@@ -315,3 +315,60 @@ def render_component(mv_dx, mv_dy, mv_dx2, mv_dy2, pred_mode, dc,
             acc = acc + v * wgt
     pred = (acc + 32) >> 6
     return jnp.clip(pred, 0, 255) - 128
+
+
+_RENDER_CACHE = {}
+
+
+def make_render_fn(p, num_refs: int):
+    """Cached jitted whole-picture OBMC render for a Params geometry.
+
+    fn(mv_dict, up1_planes, [up2_planes]) -> (pred_y, pred_u, pred_v),
+    all device arrays; upsampled planes stay on device.
+    """
+    import jax as _jax
+    vf = p.video_format
+    key = (vf.width, vf.height, int(vf.chroma_format), p.xblen_luma,
+           p.yblen_luma, p.xbsep_luma, p.ybsep_luma, p.mv_precision,
+           p.picture_weight_1, p.picture_weight_2, p.picture_weight_bits,
+           p.x_num_blocks, p.y_num_blocks, num_refs)
+    fn = _RENDER_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    h_shift = vf.chroma_format.h_shift
+    v_shift = vf.chroma_format.v_shift
+    xnb, ynb = p.x_num_blocks, p.y_num_blocks
+    pic_sizes = [vf.picture_luma_size(), vf.picture_chroma_size(),
+                 vf.picture_chroma_size()]
+    geo = []
+    for k in range(3):
+        if k == 0:
+            geo.append((p.xblen_luma, p.yblen_luma, p.xbsep_luma,
+                        p.ybsep_luma, 0, 0))
+        else:
+            geo.append((p.xblen_luma >> h_shift, p.yblen_luma >> v_shift,
+                        p.xbsep_luma >> h_shift, p.ybsep_luma >> v_shift,
+                        h_shift, v_shift))
+
+    def render(mv, up1, up2):
+        preds = []
+        for k in range(3):
+            xblen, yblen, xbsep, ybsep, hs, vs = geo[k]
+            (w_pic, h_pic) = pic_sizes[k]
+            dc = (mv["dc0"], mv["dc1"], mv["dc2"])[k]
+            preds.append(render_component(
+                mv["dx1"], mv["dy1"], mv["dx2"], mv["dy2"],
+                mv["pred_mode"], dc,
+                up1[k], up2[k] if up2 is not None else None,
+                None, xblen, yblen, xbsep, ybsep, p.mv_precision,
+                p.picture_weight_1, p.picture_weight_2,
+                p.picture_weight_bits, h_pic, w_pic, hs, vs))
+        return tuple(preds)
+
+    if num_refs > 1:
+        fn = _jax.jit(render)
+    else:
+        fn = _jax.jit(lambda mv, up1: render(mv, up1, None))
+    _RENDER_CACHE[key] = fn
+    return fn
