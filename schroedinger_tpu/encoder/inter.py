@@ -207,7 +207,31 @@ def write_prediction_parameters(w: BitWriter, p: Params) -> None:
             w.write_uint(v)
     w.write_uint(p.mv_precision)
     w.write_bit(1 if p.have_global_motion else 0)
-    # (global motion params not emitted: have_global_motion is False here)
+    if p.have_global_motion:
+        for i in range(p.num_refs):
+            gm = p.global_motion[i]
+            if (gm.b0, gm.b1) == (0, 0):
+                w.write_bit(0)
+            else:
+                w.write_bit(1)
+                w.write_sint(gm.b0)
+                w.write_sint(gm.b1)
+            if (gm.a_exp, gm.a00, gm.a01, gm.a10, gm.a11) == (0, 1, 0, 0, 1):
+                w.write_bit(0)
+            else:
+                w.write_bit(1)
+                w.write_uint(gm.a_exp)
+                w.write_sint(gm.a00)
+                w.write_sint(gm.a01)
+                w.write_sint(gm.a10)
+                w.write_sint(gm.a11)
+            if (gm.c_exp, gm.c0, gm.c1) == (0, 0, 0):
+                w.write_bit(0)
+            else:
+                w.write_bit(1)
+                w.write_uint(gm.c_exp)
+                w.write_sint(gm.c0)
+                w.write_sint(gm.c1)
     w.write_uint(p.picture_pred_mode)
     if (p.picture_weight_bits, p.picture_weight_1, p.picture_weight_2) == (1, 1, 1):
         w.write_bit(0)

@@ -226,11 +226,24 @@ def _fetch_pixels(up, mv_precision, px, py):
     return (v + 8) >> 4
 
 
+def global_vectors(gm, xs, ys):
+    """Per-pixel global (affine) motion vectors in 1/2^prec pel units
+    (schromotionref.c schro_motion_get_global_vector)."""
+    b0, b1, a_exp, a00, a01, a10, a11, c_exp, c0, c1 = gm
+    x = xs[None, :].astype(jnp.int32)
+    y = ys[:, None].astype(jnp.int32)
+    scale = (1 << c_exp) - (c0 * x + c1 * y)
+    dx = (scale * (a00 * x + a01 * y + (1 << a_exp) * b0)) >> (a_exp + c_exp)
+    dy = (scale * (a10 * x + a11 * y + (1 << a_exp) * b1)) >> (a_exp + c_exp)
+    return dx, dy
+
+
 def render_component(mv_dx, mv_dy, mv_dx2, mv_dy2, pred_mode, dc,
                      up1, up2, weights,
                      xblen, yblen, xbsep, ybsep, mv_precision,
                      ref1_weight, ref2_weight, ref_weight_precision,
-                     out_h, out_w, h_shift=0, v_shift=0):
+                     out_h, out_w, h_shift=0, v_shift=0,
+                     using_global=None, gm1=None, gm2=None):
     """Render one component's OBMC prediction (s16, already offset -128).
 
     Phase-decomposed formulation: blocks split into 2x2 parity phases; in
@@ -298,14 +311,30 @@ def render_component(mv_dx, mv_dy, mv_dx2, mv_dy2, pred_mode, dc,
 
             v = (dc[J, I] + 128) * (mode == 0)
             if up1 is not None:
-                px = (xs[None, :] << mv_precision) + dx1[J, I]
-                py = (ys[:, None] << mv_precision) + dy1[J, I]
+                bdx, bdy = dx1[J, I], dy1[J, I]
+                if using_global is not None and gm1 is not None:
+                    gdx, gdy = global_vectors(gm1, xs, ys)
+                    gdx = gdx >> h_shift if h_shift else gdx
+                    gdy = gdy >> v_shift if v_shift else gdy
+                    ug = using_global[J, I] != 0
+                    bdx = jnp.where(ug, gdx, bdx)
+                    bdy = jnp.where(ug, gdy, bdy)
+                px = (xs[None, :] << mv_precision) + bdx
+                py = (ys[:, None] << mv_precision) + bdy
                 p1 = _fetch_pixels(up1, mv_precision, px, py)
                 v = v + (((wsum * p1 + half) >> ref_weight_precision)
                          * (mode == 1))
             if up2 is not None:
-                px = (xs[None, :] << mv_precision) + dx2[J, I]
-                py = (ys[:, None] << mv_precision) + dy2[J, I]
+                bdx, bdy = dx2[J, I], dy2[J, I]
+                if using_global is not None and gm2 is not None:
+                    gdx, gdy = global_vectors(gm2, xs, ys)
+                    gdx = gdx >> h_shift if h_shift else gdx
+                    gdy = gdy >> v_shift if v_shift else gdy
+                    ug = using_global[J, I] != 0
+                    bdx = jnp.where(ug, gdx, bdx)
+                    bdy = jnp.where(ug, gdy, bdy)
+                px = (xs[None, :] << mv_precision) + bdx
+                py = (ys[:, None] << mv_precision) + bdy
                 p2 = _fetch_pixels(up2, mv_precision, px, py)
                 v = v + (((wsum * p2 + half) >> ref_weight_precision)
                          * (mode == 2))
@@ -328,10 +357,14 @@ def make_render_fn(p, num_refs: int):
     """
     import jax as _jax
     vf = p.video_format
+    gmk = tuple()
+    if p.have_global_motion:
+        gmk = tuple((g.b0, g.b1, g.a_exp, g.a00, g.a01, g.a10, g.a11,
+                     g.c_exp, g.c0, g.c1) for g in p.global_motion)
     key = (vf.width, vf.height, int(vf.chroma_format), p.xblen_luma,
            p.yblen_luma, p.xbsep_luma, p.ybsep_luma, p.mv_precision,
            p.picture_weight_1, p.picture_weight_2, p.picture_weight_bits,
-           p.x_num_blocks, p.y_num_blocks, num_refs)
+           p.x_num_blocks, p.y_num_blocks, num_refs, gmk)
     fn = _RENDER_CACHE.get(key)
     if fn is not None:
         return fn
@@ -351,6 +384,12 @@ def make_render_fn(p, num_refs: int):
                         p.xbsep_luma >> h_shift, p.ybsep_luma >> v_shift,
                         h_shift, v_shift))
 
+    have_gm = p.have_global_motion
+    gm_tuple = lambda g: (g.b0, g.b1, g.a_exp, g.a00, g.a01, g.a10, g.a11,
+                          g.c_exp, g.c0, g.c1)
+    gm1 = gm_tuple(p.global_motion[0]) if have_gm else None
+    gm2 = gm_tuple(p.global_motion[1]) if (have_gm and num_refs > 1) else None
+
     def render(mv, up1, up2):
         preds = []
         for k in range(3):
@@ -363,7 +402,9 @@ def make_render_fn(p, num_refs: int):
                 up1[k], up2[k] if up2 is not None else None,
                 None, xblen, yblen, xbsep, ybsep, p.mv_precision,
                 p.picture_weight_1, p.picture_weight_2,
-                p.picture_weight_bits, h_pic, w_pic, hs, vs))
+                p.picture_weight_bits, h_pic, w_pic, hs, vs,
+                using_global=mv.get("using_global") if have_gm else None,
+                gm1=gm1, gm2=gm2))
         return tuple(preds)
 
     if num_refs > 1:
