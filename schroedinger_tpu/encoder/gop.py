@@ -31,7 +31,8 @@ class GopEncoder:
                  base_qi_inter: int = 20,
                  bitrate: int = 0,
                  fps: float = 25.0,
-                 enable_md5: bool = False):
+                 enable_md5: bool = False,
+                 mv_precision: int = 0):
         self.vf = video_format
         self.intra_wavelet = intra_wavelet
         self.inter_wavelet = inter_wavelet
@@ -47,6 +48,7 @@ class GopEncoder:
         self.ref_frames = {}
         self._chain = bs.OffsetChain()
         self.enable_md5 = enable_md5
+        self.mv_precision = mv_precision
         self.rc = None
         if bitrate:
             from schroedinger_tpu.encoder.ratecontrol import CbrController
@@ -59,7 +61,7 @@ class GopEncoder:
                                          else self.intra_wavelet))
         p.set_default_codeblocks()
         p.set_default_quant_matrix()
-        p.mv_precision = 0
+        p.mv_precision = self.mv_precision if num_refs else 0
         # adaptive block size by resolution (schroengine.c:391-430)
         area = self.vf.width * self.vf.height
         if area >= 1920 * 1080:

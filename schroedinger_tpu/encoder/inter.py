@@ -128,6 +128,18 @@ def estimate_motion(planes_u8, ref: RefFrame, p: Params, lambda_dc=1.1):
     me = _get_me(p)
     dy, dx = me(cur_y, ref_y)
     mv = jnp.stack([dy, dx], axis=-1)
+    if p.mv_precision > 0:
+        vf0 = p.video_format
+        key = ("subpel", vf0.width, vf0.height, p.xbsep_luma, p.ybsep_luma,
+               p.x_num_blocks, p.y_num_blocks, p.mv_precision)
+        fn = _ME_CACHE.get(key)
+        if fn is None:
+            fn = me_mod.make_subpel_refine(vf0.height, vf0.width,
+                                           p.xbsep_luma, p.ybsep_luma,
+                                           p.x_num_blocks, p.y_num_blocks,
+                                           p.mv_precision)
+            _ME_CACHE[key] = fn
+        dy_s, dx_s = fn(cur_y, ref.get_upsampled()[0], dy, dx)
     sad_mc, sad_dc, mean_y = _mode_stats(cur_y, ref_y, mv, p.ybsep_luma,
                                          p.xbsep_luma, ynb, xnb)
     h_shift = p.video_format.chroma_format.h_shift
@@ -144,13 +156,18 @@ def estimate_motion(planes_u8, ref: RefFrame, p: Params, lambda_dc=1.1):
     use_dc = sad_dc.astype(np.float64) * lambda_dc < sad_mc
     pred_mode = np.where(use_dc, 0, 1).astype(np.int32)
 
-    prec_scale = 1 << p.mv_precision
+    if p.mv_precision > 0:
+        dx_final = np.asarray(dx_s)
+        dy_final = np.asarray(dy_s)
+    else:
+        dx_final = np.asarray(dx)
+        dy_final = np.asarray(dy)
     fields = {
         "split": np.full((ynb, xnb), 2, np.int32),
         "pred_mode": pred_mode,
         "using_global": np.zeros((ynb, xnb), np.int32),
-        "dx1": (np.asarray(dx) * prec_scale * (pred_mode == 1)).astype(np.int32),
-        "dy1": (np.asarray(dy) * prec_scale * (pred_mode == 1)).astype(np.int32),
+        "dx1": (dx_final * (pred_mode == 1)).astype(np.int32),
+        "dy1": (dy_final * (pred_mode == 1)).astype(np.int32),
         "dx2": np.zeros((ynb, xnb), np.int32),
         "dy2": np.zeros((ynb, xnb), np.int32),
         "dc0": (np.clip(np.asarray(mean_y) - 128, -128, 127)

@@ -138,3 +138,49 @@ def make_me_fn(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
         return diff.reshape(nby, bs_y, nbx, bs_x).sum(axis=(1, 3))
 
     return jax.jit(me)
+
+
+def make_subpel_refine(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
+                       mv_precision):
+    """Jitted sub-pel refinement: full-pel MVs -> 1/2^prec-pel MVs.
+
+    Successively scales to each precision level and scans the 3x3 sub-pel
+    neighborhood, sampling the interleaved half-pel reference with the same
+    fetch the OBMC renderer uses (schromotionest.c:133-246 analog)."""
+    from schroedinger_tpu.ops.obmc import _fetch_pixels
+
+    pad_h = ybsep * y_num_blocks
+    pad_w = xbsep * x_num_blocks
+    cands = jnp.asarray(_grid_cands(1))  # 9 offsets
+
+    def refine(cur, up, dy_full, dx_full):
+        c = jnp.pad(cur, ((0, pad_h - H), (0, pad_w - W)),
+                    mode="edge").astype(jnp.int32)
+        ys = jnp.arange(pad_h)
+        xs = jnp.arange(pad_w)
+        mv_y = dy_full
+        mv_x = dx_full
+        for level in range(1, mv_precision + 1):
+            mv_y = mv_y * 2
+            mv_x = mv_x * 2
+            scale_rem = mv_precision - level  # remaining shift to full prec
+            dy_pix = jnp.repeat(jnp.repeat(mv_y, ybsep, 0), xbsep, 1)
+            dx_pix = jnp.repeat(jnp.repeat(mv_x, ybsep, 0), xbsep, 1)
+
+            def sad_at(_, d):
+                py = ((ys[:, None] << level) + dy_pix + d[0]) << scale_rem
+                px = ((xs[None, :] << level) + dx_pix + d[1]) << scale_rem
+                # scale positions to the renderer's precision units
+                samp = _fetch_pixels(up, mv_precision,
+                                     px, py)
+                diff = jnp.abs(c - samp)
+                return None, diff.reshape(y_num_blocks, ybsep,
+                                          x_num_blocks, xbsep).sum((1, 3))
+
+            _, sads = jax.lax.scan(sad_at, None, cands)
+            best = jnp.argmin(sads, axis=0)
+            mv_y = mv_y + cands[best][..., 0]
+            mv_x = mv_x + cands[best][..., 1]
+        return mv_y, mv_x
+
+    return jax.jit(refine)

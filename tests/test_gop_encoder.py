@@ -75,3 +75,23 @@ def test_md5_auxiliary_data():
         pass
     else:
         assert dec2.md5_failures, "corruption not detected"
+
+
+@pytest.mark.parametrize("prec", [1, 2, 3])
+def test_gop_subpel(prec):
+    frames = make_frames(3)
+    vf = VideoFormat(width=W, height=H, clean_width=W, clean_height=H,
+                     chroma_format=ChromaFormat.C420,
+                     frame_rate_numerator=25, frame_rate_denominator=1)
+    enc = GopEncoder(vf, base_qi_intra=12, base_qi_inter=16,
+                     mv_precision=prec)
+    stream = enc.encode_stream(frames)
+    mine = StreamDecoder().decode_stream(stream)
+    ref = so.decode(stream, W, H)
+    assert len(ref) >= len(frames) - 1
+    for g3, r3 in zip(mine, ref):
+        for g, r in zip(g3, r3):
+            np.testing.assert_array_equal(g, r)
+    for n, (g3, orig) in enumerate(zip(mine, frames)):
+        p = psnr(g3[0], orig[0])
+        assert p > 30, f"frame {n} PSNR {p:.1f}"
