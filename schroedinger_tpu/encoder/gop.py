@@ -32,7 +32,10 @@ class GopEncoder:
                  bitrate: int = 0,
                  fps: float = 25.0,
                  enable_md5: bool = False,
-                 mv_precision: int = 0):
+                 mv_precision: int = 0,
+                 enable_scene_change: bool = True,
+                 scene_change_threshold: float = 3.0,
+                 stats=None):
         self.vf = video_format
         self.intra_wavelet = intra_wavelet
         self.inter_wavelet = inter_wavelet
@@ -49,6 +52,14 @@ class GopEncoder:
         self._chain = bs.OffsetChain()
         self.enable_md5 = enable_md5
         self.mv_precision = mv_precision
+        self.enable_scene_change = enable_scene_change
+        self.scene_change_threshold = scene_change_threshold
+        self._prev_input = None
+        self._prev_mad = None
+        if stats is None:
+            from schroedinger_tpu.utils.telemetry import FrameStats
+            stats = FrameStats()
+        self.stats = stats
         self.rc = None
         if bitrate:
             from schroedinger_tpu.encoder.ratecontrol import CbrController
@@ -75,9 +86,28 @@ class GopEncoder:
             p.xbsep_luma = p.ybsep_luma = 8
         return p
 
+    def _scene_change_score(self, planes) -> float:
+        """MAD vs previous input, downsampled 4x (schroencoder.c:1909
+        calculate_sc_score analog): score = mad / running mad."""
+        y = np.asarray(planes[0], np.int32)[::4, ::4]
+        score = 0.0
+        if self._prev_input is not None:
+            mad = float(np.abs(y - self._prev_input).mean())
+            base = self._prev_mad if self._prev_mad else max(mad, 1e-3)
+            score = mad / max(base, 1e-3)
+            self._prev_mad = (0.7 * (self._prev_mad or mad) + 0.3 * mad)
+        self._prev_input = y
+        return score
+
     def encode_frame(self, planes) -> bytes:
         num = self.frame_number
         is_intra = (num % self.gop_length) == 0
+        sc_score = 0.0
+        if self.enable_scene_change:
+            sc_score = self._scene_change_score(planes)
+            if (not is_intra and sc_score > self.scene_change_threshold
+                    and self.last_ref is not None):
+                is_intra = True
         units = []
         if is_intra:
             units.append(bs.write_sequence_header(self.vf, profile=8, level=0))
@@ -144,6 +174,10 @@ class GopEncoder:
         self.prev_ref = self.last_ref
         self.last_ref = num
         self.frame_number += 1
+        self.stats.record(frame=num, intra=bool(is_intra),
+                          bits=len(unit) * 8, sc_score=round(sc_score, 3),
+                          buffer_level=(self.rc.buffer_level if self.rc
+                                        else None))
         return self._chain.add(units)
 
     def encode_stream(self, frames) -> bytes:

@@ -95,3 +95,22 @@ def test_gop_subpel(prec):
     for n, (g3, orig) in enumerate(zip(mine, frames)):
         p = psnr(g3[0], orig[0])
         assert p > 30, f"frame {n} PSNR {p:.1f}"
+
+
+def test_scene_change_forces_intra():
+    rng = np.random.default_rng(0)
+    frames = make_frames(3)
+    # scene cut at frame 2: completely different content
+    cut = (rng.integers(0, 255, frames[0][0].shape).astype(np.uint8),
+           rng.integers(0, 255, frames[0][1].shape).astype(np.uint8),
+           rng.integers(0, 255, frames[0][2].shape).astype(np.uint8))
+    seq = [frames[0], frames[1], cut]
+    vf = VideoFormat(width=W, height=H, clean_width=W, clean_height=H,
+                     chroma_format=ChromaFormat.C420,
+                     frame_rate_numerator=25, frame_rate_denominator=1)
+    enc = GopEncoder(vf, base_qi_intra=12, base_qi_inter=16,
+                     enable_scene_change=True)
+    enc.encode_stream(seq)
+    kinds = [f["intra"] for f in enc.stats.frames]
+    assert kinds[0] is True
+    assert kinds[2] is True, "scene cut frame should be coded intra"
