@@ -304,7 +304,7 @@ def decode(stream, width, height, chroma=420):
     data = C.create_string_buffer(stream, len(stream))
     buf = L.schro_buffer_new_with_data(C.cast(data, C.c_void_p), len(stream))
     L.schro_decoder_autoparse_push(dec, buf)
-    L.schro_decoder_autoparse_push_end_of_sequence(dec)
+    pushed_eos = False
 
     # schrodecoder.h:163-171: OK=0 ERROR=1 EOS=2 FIRST_ACCESS_UNIT=3
     # NEED_BITS=4 NEED_FRAME=5 WAIT=6 STALLED=7
@@ -322,11 +322,23 @@ def decode(stream, width, height, chroma=420):
             elif fp:
                 L.schro_frame_unref(fp)
         elif st == 2:  # EOS
+            # drain any frames still sitting in the reorder buffer
+            while True:
+                fp = L.schro_decoder_pull(dec)
+                if not fp:
+                    break
+                if fp.contents.components[0].data:
+                    frames.append(_read_frame(fp))
+                L.schro_frame_unref(fp)
             break
         elif st == 1:  # ERROR
             raise RuntimeError("oracle decoder error")
-        elif st == 4:  # NEED_BITS: no more data
-            break
+        elif st == 4:  # NEED_BITS: all data consumed -> signal EOS once
+            if not pushed_eos:
+                L.schro_decoder_autoparse_push_end_of_sequence(dec)
+                pushed_eos = True
+            else:
+                break
         elif st == 3:  # FIRST_ACCESS_UNIT
             pass
     L.schro_decoder_free(dec)

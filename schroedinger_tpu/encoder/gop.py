@@ -35,6 +35,7 @@ class GopEncoder:
                  mv_precision: int = 0,
                  enable_scene_change: bool = True,
                  scene_change_threshold: float = 3.0,
+                 b_frames: int = 0,
                  stats=None):
         self.vf = video_format
         self.intra_wavelet = intra_wavelet
@@ -60,6 +61,8 @@ class GopEncoder:
             from schroedinger_tpu.utils.telemetry import FrameStats
             stats = FrameStats()
         self.stats = stats
+        self.b_frames = b_frames
+        self._bbuf = []  # buffered (num, planes) awaiting the next reference
         self.rc = None
         if bitrate:
             from schroedinger_tpu.encoder.ratecontrol import CbrController
@@ -100,6 +103,8 @@ class GopEncoder:
         return score
 
     def encode_frame(self, planes) -> bytes:
+        """Display-order input; emits coded-order units (refs before the
+        B pictures that reference them). May return b'' while buffering."""
         num = self.frame_number
         is_intra = (num % self.gop_length) == 0
         sc_score = 0.0
@@ -108,6 +113,50 @@ class GopEncoder:
             if (not is_intra and sc_score > self.scene_change_threshold
                     and self.last_ref is not None):
                 is_intra = True
+
+        if self.b_frames and not is_intra and self.last_ref is not None \
+                and len(self._bbuf) < self.b_frames:
+            self._bbuf.append((num, planes))
+            self.frame_number += 1
+            return b""
+
+        out = bytearray()
+        prev_ref_num = self.last_ref
+        out += self._encode_ref(planes, num, is_intra, sc_score)
+        if self._bbuf:
+            for bnum, bplanes in self._bbuf:
+                out += self._encode_b(bplanes, bnum, prev_ref_num, num)
+            self._bbuf = []
+        return bytes(out)
+
+    def flush(self) -> bytes:
+        """Encode any buffered frames (trailing, no future ref) as P."""
+        out = bytearray()
+        for bnum, bplanes in self._bbuf:
+            out += self._encode_ref(bplanes, bnum, False, 0.0)
+        self._bbuf = []
+        return bytes(out)
+
+    def _encode_b(self, planes, num, ref1_num, ref2_num) -> bytes:
+        from schroedinger_tpu.encoder.inter import encode_b_picture
+        p = self._params(2)
+        target = None
+        if self.rc:
+            target = int(self.rc.frame_target(False) * 0.6)
+        unit = encode_b_picture(planes, p, num, ref1_num,
+                                self.ref_frames[ref1_num], ref2_num,
+                                self.ref_frames[ref2_num],
+                                base_qi=min(60, self.base_qi_inter + 4),
+                                target_bits=target,
+                                rc_correction=self.rc.correction
+                                if self.rc else 1.0)
+        if self.rc:
+            self.rc.update(len(unit) * 8)
+        self.stats.record(frame=num, intra=False, b_picture=True,
+                          bits=len(unit) * 8)
+        return self._chain.add([unit])
+
+    def _encode_ref(self, planes, num, is_intra, sc_score) -> bytes:
         units = []
         if is_intra:
             units.append(bs.write_sequence_header(self.vf, profile=8, level=0))
@@ -173,7 +222,8 @@ class GopEncoder:
         self.ref_frames[num] = RefFrame(recon)
         self.prev_ref = self.last_ref
         self.last_ref = num
-        self.frame_number += 1
+        if num == self.frame_number:
+            self.frame_number += 1
         self.stats.record(frame=num, intra=bool(is_intra),
                           bits=len(unit) * 8, sc_score=round(sc_score, 3),
                           buffer_level=(self.rc.buffer_level if self.rc
@@ -184,5 +234,6 @@ class GopEncoder:
         out = bytearray()
         for f in frames:
             out += self.encode_frame(f)
+        out += self.flush()
         out += self._chain.add([bs.make_eos_unit()], final_eos=True)
         return bytes(out)

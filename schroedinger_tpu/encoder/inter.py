@@ -374,3 +374,190 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
             _combine(rres, preds[comp], (h_pic, w_pic))))
     w.sync()
     return w.get_bytes(), tuple(recon_planes), base_qi
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _mode_stats_biref(cur_y, ref1_y, ref2_y, mvs, ybsep, xbsep, ynb, xnb):
+    """Per-block SADs for ref1/ref2/biref given per-ref full-pel MV fields.
+
+    mvs: (2, yb, xb, 2). Returns (sad1, sad2, sad_bi, sad_dc, mean)."""
+    H = ybsep * ynb
+    W = xbsep * xnb
+    h, w = cur_y.shape
+    c = jnp.pad(cur_y, ((0, H - h), (0, W - w)), mode="edge").astype(jnp.int32)
+
+    def sample(ref_y, mv):
+        r = jnp.pad(ref_y, ((0, H - h), (0, W - w)), mode="edge")
+        dy_pix = jnp.repeat(jnp.repeat(mv[..., 0], ybsep, 0), xbsep, 1)
+        dx_pix = jnp.repeat(jnp.repeat(mv[..., 1], ybsep, 0), xbsep, 1)
+        yy = jnp.arange(H)[:, None]
+        xx = jnp.arange(W)[None, :]
+        sy = jnp.clip(yy + dy_pix, 0, H - 1)
+        sx = jnp.clip(xx + dx_pix, 0, W - 1)
+        return r[sy, sx].astype(jnp.int32)
+
+    p1 = sample(ref1_y, mvs[0])
+    p2 = sample(ref2_y, mvs[1])
+
+    def bsum(x):
+        return x.reshape(ynb, ybsep, xnb, xbsep).sum((1, 3))
+
+    sad1 = bsum(jnp.abs(c - p1))
+    sad2 = bsum(jnp.abs(c - p2))
+    sad_bi = bsum(jnp.abs(c - ((p1 + p2 + 1) >> 1)))
+    bmean = jnp.round(c.reshape(ynb, ybsep, xnb, xbsep).mean((1, 3))
+                      ).astype(jnp.int32)
+    sad_dc = bsum(jnp.abs(c - jnp.repeat(jnp.repeat(bmean, ybsep, 0),
+                                         xbsep, 1)))
+    return sad1, sad2, sad_bi, sad_dc, bmean
+
+
+def estimate_motion_biref(planes_u8, ref1: RefFrame, ref2: RefFrame,
+                          p: Params, lambda_dc=1.1, lambda_bi=0.95):
+    """Two-ref ME + 4-way mode decision (DC/ref1/ref2/biref)."""
+    xnb, ynb = p.x_num_blocks, p.y_num_blocks
+    cur_y = jnp.asarray(planes_u8[0])
+    me = _get_me(p)
+    dys, dxs = [], []
+    for ref in (ref1, ref2):
+        dy, dx = me(cur_y, jnp.asarray(ref.planes[0]))
+        dys.append(dy)
+        dxs.append(dx)
+    mvs = jnp.stack([jnp.stack([dys[i], dxs[i]], axis=-1) for i in range(2)])
+    sad1, sad2, sad_bi, sad_dc, mean_y = _mode_stats_biref(
+        cur_y, jnp.asarray(ref1.planes[0]), jnp.asarray(ref2.planes[0]),
+        mvs, p.ybsep_luma, p.xbsep_luma, ynb, xnb)
+
+    h_shift = p.video_format.chroma_format.h_shift
+    v_shift = p.video_format.chroma_format.v_shift
+    mean_u = _block_means(jnp.asarray(planes_u8[1]), None,
+                          p.ybsep_luma >> v_shift, p.xbsep_luma >> h_shift,
+                          ynb, xnb)
+    mean_v = _block_means(jnp.asarray(planes_u8[2]), None,
+                          p.ybsep_luma >> v_shift, p.xbsep_luma >> h_shift,
+                          ynb, xnb)
+
+    costs = np.stack([np.asarray(sad_dc) * lambda_dc, np.asarray(sad1),
+                      np.asarray(sad2), np.asarray(sad_bi) * lambda_bi])
+    pred_mode = np.argmin(costs, axis=0).astype(np.int32)
+
+    prec_scale = 1 << p.mv_precision
+    use1 = ((pred_mode & 1) != 0)
+    use2 = ((pred_mode & 2) != 0)
+    fields = {
+        "split": np.full((ynb, xnb), 2, np.int32),
+        "pred_mode": pred_mode,
+        "using_global": np.zeros((ynb, xnb), np.int32),
+        "dx1": (np.asarray(dxs[0]) * prec_scale * use1).astype(np.int32),
+        "dy1": (np.asarray(dys[0]) * prec_scale * use1).astype(np.int32),
+        "dx2": (np.asarray(dxs[1]) * prec_scale * use2).astype(np.int32),
+        "dy2": (np.asarray(dys[1]) * prec_scale * use2).astype(np.int32),
+        "dc0": (np.clip(np.asarray(mean_y) - 128, -128, 127)
+                * (pred_mode == 0)).astype(np.int32),
+        "dc1": (np.clip(np.asarray(mean_u) - 128, -128, 127)
+                * (pred_mode == 0)).astype(np.int32),
+        "dc2": (np.clip(np.asarray(mean_v) - 128, -128, 127)
+                * (pred_mode == 0)).astype(np.int32),
+    }
+    keys_extra = ("dx2", "dy2")
+    split = _derive_splits(fields, xnb, ynb)
+    fields["split"] = split
+    _enforce_units(fields, split, xnb, ynb)
+    return fields
+
+
+def encode_b_picture(planes_u8, p: Params, frame_number: int,
+                     ref1_num: int, ref1: RefFrame,
+                     ref2_num: int, ref2: RefFrame,
+                     base_qi: int = 24,
+                     target_bits: Optional[int] = None,
+                     rc_correction: float = 1.0) -> bytes:
+    """Encode one non-reference B picture (2 refs, biref OBMC)."""
+    assert _native is not None
+    depth = p.transform_depth
+    nb = subband_count(depth)
+    vf = p.video_format
+
+    mv = estimate_motion_biref(planes_u8, ref1, ref2, p)
+    preds = render_prediction(mv, p, ref1, ref2)
+
+    iwt_dims = [(p.iwt_luma_height, p.iwt_luma_width),
+                (p.iwt_chroma_height, p.iwt_chroma_width),
+                (p.iwt_chroma_height, p.iwt_chroma_width)]
+    qm = np.asarray(p.quant_matrix[:nb], np.int32)
+
+    w = BitWriter()
+    code = parse_code_picture(False, 2, False, False)
+    write_parse_info(w, code)
+    write_picture_header(w, frame_number,
+                         ref_deltas=[ref1_num - frame_number,
+                                     ref2_num - frame_number])
+    w.sync()
+    write_prediction_parameters(w, p)
+    w.sync()
+    bufs = _native.motion_encode(mv, p.x_num_blocks, p.y_num_blocks, 2)
+    for s in range(9):
+        if bufs[s] is None:
+            continue
+        w.write_uint(len(bufs[s]))
+        w.sync()
+        for byte in bufs[s]:
+            w.write_bits(8, byte)
+    w.sync()
+    w.write_bit(0)  # zero residual
+    w.write_uint(int(p.wavelet_filter_index))
+    w.write_uint(p.transform_depth)
+    is_default_cb = all(p.horiz_codeblocks[i] == 1 and p.vert_codeblocks[i] == 1
+                        for i in range(p.transform_depth + 1)) \
+        and p.codeblock_mode_index == 0
+    if is_default_cb:
+        w.write_bit(0)
+    else:
+        w.write_bit(1)
+        for i in range(p.transform_depth + 1):
+            w.write_uint(p.horiz_codeblocks[i])
+            w.write_uint(p.vert_codeblocks[i])
+        w.write_uint(p.codeblock_mode_index)
+    w.sync()
+
+    pyramids = []
+    for comp in range(3):
+        oh, ow = iwt_dims[comp]
+        res = _residual(jnp.asarray(planes_u8[comp]), preds[comp], oh, ow)
+        pyramids.append(_forward_jit(res, depth, p.wavelet_filter_index))
+
+    if target_bits is not None:
+        from schroedinger_tpu.encoder import ratecontrol as rcmod
+        band_lists = [sl.subband_arrays(pyr, depth) for pyr in pyramids]
+        base_qi = rcmod.pick_base_qi(band_lists, p, target_bits, intra=False,
+                                     correction=rc_correction)
+
+    for comp in range(3):
+        bands = [np.asarray(b) for b in sl.subband_arrays(pyramids[comp],
+                                                          depth)]
+        deq_bands = [None] * nb
+        for index in range(nb):
+            hcb, vcb = _codeblock_counts(p, index)
+            position = subband_position(index)
+            qi = int(np.clip(base_qi - qm[index], 0, 60))
+            qi_arr = np.full((vcb, hcb), qi, np.int32)
+            qdata, deq = sb.quantise_subband(bands[index], qi_arr, position,
+                                             hcb, vcb, is_intra=False)
+            deq_bands[index] = deq
+            w.sync()
+            if not np.any(qdata):
+                w.write_uint(0)
+                continue
+            parent_deq = deq_bands[index - 3] if position >= 4 else None
+            payload, first_qi = sb.encode_subband_arith(
+                qdata, parent_deq, position, hcb, vcb,
+                p.codeblock_mode_index == 1, qi_arr)
+            w.write_uint(len(payload))
+            if first_qi == -1:
+                first_qi = qi
+            w.write_uint(first_qi)
+            w.sync()
+            for byte in payload:
+                w.write_bits(8, byte)
+    w.sync()
+    return w.get_bytes()

@@ -114,3 +114,29 @@ def test_scene_change_forces_intra():
     kinds = [f["intra"] for f in enc.stats.frames]
     assert kinds[0] is True
     assert kinds[2] is True, "scene cut frame should be coded intra"
+
+
+def test_bframes_roundtrip():
+    frames = make_frames(7)
+    vf = VideoFormat(width=W, height=H, clean_width=W, clean_height=H,
+                     chroma_format=ChromaFormat.C420,
+                     frame_rate_numerator=25, frame_rate_denominator=1)
+    enc = GopEncoder(vf, base_qi_intra=12, base_qi_inter=16, b_frames=2,
+                     enable_scene_change=False)
+    stream = enc.encode_stream(frames)
+    # stream must contain 2-ref pictures
+    from schroedinger_tpu import bitstream as bs2
+    codes = [c for c, _ in bs2.split_units(stream) if bs2.is_picture(c)]
+    assert any(bs2.num_refs(c) == 2 for c in codes), codes
+
+    mine = StreamDecoder().decode_stream(stream)
+    ref = so.decode(stream, W, H)
+    assert len(mine) == len(frames)
+    # the ctypes oracle wrapper can leave reordered frames undrained at EOS
+    assert len(ref) >= len(frames) - 3
+    for g3, r3 in zip(mine, ref):
+        for g, r in zip(g3, r3):
+            np.testing.assert_array_equal(g, r)
+    for n, (g3, orig) in enumerate(zip(mine, frames)):
+        p = psnr(g3[0], orig[0])
+        assert p > 30, f"frame {n} PSNR {p:.1f}"
