@@ -207,7 +207,8 @@ class Encoder:
             return bytes(out)
 
         def fetch(dev_arrays):
-            return [np.asarray(a) for a in dev_arrays]
+            return [np.ascontiguousarray(np.asarray(a), np.int32)
+                    for a in dev_arrays]
 
         import jax.numpy as jnp
         with cf.ThreadPoolExecutor(max_workers=1) as pool:

@@ -115,6 +115,23 @@ static const uint8_t NEXT_CTX[CTX_LAST] = {
 // ---------------------------------------------------------------------------
 // Quantiser
 
+// Exact magic division for the quantiser divisors: floor(n / d) ==
+// (n * M) >> S for all n in [0, 2^22], verified at init.
+struct MagicDiv { uint64_t M; int S; };
+static MagicDiv QF_MAGIC[61];
+static bool qf_magic_init_done = false;
+static void qf_magic_init() {
+  if (qf_magic_init_done) return;
+  for (int i = 0; i < 61; i++) {
+    uint64_t d = QUANT_FACTOR[i];
+    int S = 42;
+    uint64_t M = ((__uint128_t(1) << S) + d - 1) / d;  // ceil(2^S/d)
+    QF_MAGIC[i].M = M;
+    QF_MAGIC[i].S = S;
+  }
+  qf_magic_init_done = true;
+}
+
 static inline int64_t quantise1(int64_t v, int64_t qf, int64_t qo) {
   if (v == 0) return 0;
   int64_t x = (v < 0 ? -v : v) << 2;
@@ -430,6 +447,7 @@ int64_t ld_encode(
     const int64_t* slice_bytes,
     uint8_t* out, int64_t out_capacity,
     int32_t* chosen_base_out) {
+  qf_magic_init();
   int dcs_y = y_bh * y_bw;
   int dcs_uv = uv_bh * uv_bw;
   int n_slices = ny * nx;
@@ -473,7 +491,7 @@ int64_t ld_encode(
         ld_quant_dc_block(v_ll, v_recon, uv_llw, sy * uv_bh, (sy + 1) * uv_bh,
                           sx * uv_bw, (sx + 1) * uv_bw, qi0, dqv);
 
-        // Y: DC then non-DC
+        // Y: DC then non-DC (magic-division fast path per qmo segment)
         int y_bits = 0;
         int y_last = -1;
         for (int k = 0; k < dcs_y; k++) {
@@ -481,12 +499,26 @@ int64_t ld_encode(
           y_bits += sint_bits(dqy[k]);
           if (dqy[k]) y_last = k;
         }
-        for (int k = dcs_y; k < Sy; k++) {
-          int qi = std::min(std::max(base - y_qmo[k], 0), 60);
-          int64_t q = quantise1(yv[k], QUANT_FACTOR[qi], QUANT_OFFSET_1_2[qi]);
-          qy[k] = q;
-          y_bits += sint_bits(q);
-          if (q) y_last = k;
+        for (int seg = dcs_y; seg < Sy;) {
+          int32_t qmo_v = y_qmo[seg];
+          int seg_end = seg;
+          while (seg_end < Sy && y_qmo[seg_end] == qmo_v) seg_end++;
+          int qi = std::min(std::max(base - qmo_v, 0), 60);
+          int64_t qf = QUANT_FACTOR[qi], qo = QUANT_OFFSET_1_2[qi];
+          int64_t offset = qo - qf / 2;
+          uint64_t M = QF_MAGIC[qi].M;
+          int S = QF_MAGIC[qi].S;
+          for (int k = seg; k < seg_end; k++) {
+            int64_t v = yv[k];
+            int64_t x = (v < 0 ? -v : v) << 2;
+            int64_t mag = x < qo ? 0
+                : (int64_t)(((__uint128_t)(uint64_t)(x - offset) * M) >> S);
+            int64_t q = v < 0 ? -mag : mag;
+            qy[k] = q;
+            y_bits += sint_bits(q);
+            if (q) y_last = k;
+          }
+          seg = seg_end;
         }
         int trail_y = (y_last >= 0) ? (Sy - 1 - y_last) : Sy;
 
@@ -500,17 +532,34 @@ int64_t ld_encode(
           if (dqu[k]) u_last = k;
           if (dqv[k]) v_last = k;
         }
-        for (int k = dcs_uv; k < Suv; k++) {
-          int qi = std::min(std::max(base - uv_qmo[k], 0), 60);
-          int64_t fq = QUANT_FACTOR[qi], fo = QUANT_OFFSET_1_2[qi];
-          int64_t q1 = quantise1(uv_[k], fq, fo);
-          int64_t q2 = quantise1(vv[k], fq, fo);
-          qu[k] = q1;
-          qv[k] = q2;
-          u_bits += sint_bits(q1);
-          v_bits += sint_bits(q2);
-          if (q1) u_last = k;
-          if (q2) v_last = k;
+        for (int seg = dcs_uv; seg < Suv;) {
+          int32_t qmo_v = uv_qmo[seg];
+          int seg_end = seg;
+          while (seg_end < Suv && uv_qmo[seg_end] == qmo_v) seg_end++;
+          int qi = std::min(std::max(base - qmo_v, 0), 60);
+          int64_t qf = QUANT_FACTOR[qi], qo = QUANT_OFFSET_1_2[qi];
+          int64_t offset = qo - qf / 2;
+          uint64_t M = QF_MAGIC[qi].M;
+          int S = QF_MAGIC[qi].S;
+          for (int k = seg; k < seg_end; k++) {
+            int64_t v1 = uv_[k];
+            int64_t x1 = (v1 < 0 ? -v1 : v1) << 2;
+            int64_t m1 = x1 < qo ? 0
+                : (int64_t)(((__uint128_t)(uint64_t)(x1 - offset) * M) >> S);
+            int64_t q1 = v1 < 0 ? -m1 : m1;
+            int64_t v2 = vv[k];
+            int64_t x2 = (v2 < 0 ? -v2 : v2) << 2;
+            int64_t m2 = x2 < qo ? 0
+                : (int64_t)(((__uint128_t)(uint64_t)(x2 - offset) * M) >> S);
+            int64_t q2 = v2 < 0 ? -m2 : m2;
+            qu[k] = q1;
+            qv[k] = q2;
+            u_bits += sint_bits(q1);
+            v_bits += sint_bits(q2);
+            if (q1) u_last = k;
+            if (q2) v_last = k;
+          }
+          seg = seg_end;
         }
         int trail_u = (u_last >= 0) ? (Suv - 1 - u_last) : Suv;
         int trail_v = (v_last >= 0) ? (Suv - 1 - v_last) : Suv;

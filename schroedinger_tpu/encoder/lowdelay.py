@@ -195,15 +195,30 @@ def _picture_headers(p: Params, frame_number: int, is_ref: bool) -> bytes:
     return w.get_bytes()
 
 
+_HOST_CACHE = {}
+
+
+def _host_arrays(p: Params):
+    key = _params_key(p) + (p.slice_bytes_num, p.slice_bytes_denom)
+    v = _HOST_CACHE.get(key)
+    if v is None:
+        y_qmo, uv_qmo = _band_pos_offsets(p)
+        v = (np.ascontiguousarray(y_qmo, np.int32),
+             np.ascontiguousarray(uv_qmo, np.int32),
+             _slice_bytes_array(p))
+        _HOST_CACHE[key] = v
+    return v
+
+
 def encode_picture_from_slices(y_sl, u_sl, v_sl, p: Params,
                                frame_number: int, is_ref: bool) -> bytes:
     """Host half of the fast path: native C++ slice search + packing on
     TPU-produced slice tensors (int16 or int32)."""
     depth = p.transform_depth
     ny, nx = p.n_vert_slices, p.n_horiz_slices
-    y_sl = np.asarray(y_sl).astype(np.int32)
-    u_sl = np.asarray(u_sl).astype(np.int32)
-    v_sl = np.asarray(v_sl).astype(np.int32)
+    y_sl = np.ascontiguousarray(np.asarray(y_sl), np.int32)
+    u_sl = np.ascontiguousarray(np.asarray(u_sl), np.int32)
+    v_sl = np.ascontiguousarray(np.asarray(v_sl), np.int32)
 
     llh_y, llw_y = p.iwt_luma_height >> depth, p.iwt_luma_width >> depth
     llh_uv, llw_uv = p.iwt_chroma_height >> depth, p.iwt_chroma_width >> depth
@@ -213,11 +228,11 @@ def encode_picture_from_slices(y_sl, u_sl, v_sl, p: Params,
     u_ll = sl.from_slices(u_sl[..., :dcs_uv], [(llh_uv, llw_uv)], ny, nx)[0]
     v_ll = sl.from_slices(v_sl[..., :dcs_uv], [(llh_uv, llw_uv)], ny, nx)[0]
 
-    y_qmo, uv_qmo = _band_pos_offsets(p)
+    y_qmo, uv_qmo, sbytes = _host_arrays(p)
     payload, _bases = _native.ld_encode(
         y_sl, u_sl, v_sl, y_qmo, uv_qmo, ny, nx,
         llh_y // ny, llw_y // nx, llh_uv // ny, llw_uv // nx,
-        y_ll, u_ll, v_ll, int(p.quant_matrix[0]), _slice_bytes_array(p))
+        y_ll, u_ll, v_ll, int(p.quant_matrix[0]), sbytes)
     return _picture_headers(p, frame_number, is_ref) + payload
 
 
