@@ -169,6 +169,7 @@ class StreamDecoder:
         self.refs: Dict[int, RefFrame] = {}
         self._pending_md5: Optional[bytes] = None
         self.md5_failures: List[int] = []
+        self.errors: List[dict] = []
 
     def _render_inter(self, p: Params, mv, ref1: RefFrame,
                       ref2: Optional[RefFrame], residual_planes):
@@ -282,7 +283,12 @@ class StreamDecoder:
                 if len(payload) >= 17 and payload[0] == 3:  # MD5 checksum
                     self._pending_md5 = payload[1:17]
             elif bs.is_picture(code):
-                num, planes = self.decode_picture_unit(code, payload)
+                try:
+                    num, planes = self.decode_picture_unit(code, payload)
+                except Exception as e:  # broken picture: record and continue
+                    self.errors.append({"code": code, "error": repr(e)})
+                    self._pending_md5 = None
+                    continue
                 if self._pending_md5 is not None and _native is not None:
                     if _native.frame_md5(planes) != self._pending_md5:
                         self.md5_failures.append(num)
