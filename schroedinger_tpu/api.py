@@ -192,9 +192,9 @@ class Encoder:
 
         try:
             from schroedinger_tpu.encoder.lowdelay import (
-                _get_transform_fn, encode_picture_from_slices)
+                _get_analyze_fn, fetch_analysis)
             import jax.numpy as jnp
-            transform = _get_transform_fn(self.params)
+            transform = _get_analyze_fn(self.params)
         except Exception:
             transform = None
 
@@ -206,9 +206,7 @@ class Encoder:
             out += self.end_of_stream()
             return bytes(out)
 
-        def fetch(dev_arrays):
-            return [np.ascontiguousarray(np.asarray(a), np.int32)
-                    for a in dev_arrays]
+        from schroedinger_tpu.encoder.lowdelay import fetch_analysis as fetch
 
         import jax.numpy as jnp
         with cf.ThreadPoolExecutor(max_workers=1) as pool:
@@ -226,12 +224,12 @@ class Encoder:
         return bytes(out)
 
     def _emit_lowdelay(self, pending, out: bytearray) -> None:
-        from schroedinger_tpu.encoder.lowdelay import encode_picture_from_slices
+        from schroedinger_tpu.encoder.lowdelay import             encode_picture_from_analysis
         fut, fnum = pending
-        ys, us, vs = fut.result()
+        host_data = fut.result()
         units = [bs.write_sequence_header(self.vf, profile=0, level=0),
-                 encode_picture_from_slices(ys, us, vs, self.params, fnum,
-                                            is_ref=False)]
+                 encode_picture_from_analysis(host_data, self.params, fnum,
+                                              is_ref=False)]
         out += self._chain.add(units)
 
 

@@ -295,3 +295,50 @@ def frame_md5(planes):
     _lib.frame_md5(y, y.shape[1], y.shape[0], u, v,
                    u.shape[1], u.shape[0], out)
     return out.tobytes()
+
+
+def _ensure_tab():
+    if not hasattr(_lib, "_tab_ready"):
+        _lib.ld_encode_tab.restype = C.c_int64
+        _lib.ld_encode_tab.argtypes = [
+            _i32p, _i32p, _i32p, _i32p, _i32p,
+            C.c_int, C.c_int, C.c_int, C.c_int,
+            C.c_int, C.c_int, C.c_int, C.c_int,
+            _i32p, _i32p, _i32p,
+            C.c_int, C.c_int, C.c_int, C.c_int,
+            C.c_int, _i64p,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            _u8p, C.c_int64, _i32p]
+        _lib._tab_ready = True
+
+
+def ld_encode_tab(yd, ud, vd, y_qmo, uv_qmo, ny, nx, y_bh, y_bw, uv_bh, uv_bw,
+                  y_ll, u_ll, v_ll, dc_qm, slice_bytes,
+                  y_bits, y_last, u_bits, u_last, v_bits, v_last):
+    """Slice search using TPU-precomputed per-base aggregates."""
+    _ensure_tab()
+    yd = np.ascontiguousarray(yd, np.int32)
+    ud = np.ascontiguousarray(ud, np.int32)
+    vd = np.ascontiguousarray(vd, np.int32)
+    Sy = yd.shape[-1]
+    Suv = ud.shape[-1]
+    y_ll = np.ascontiguousarray(y_ll, np.int32)
+    u_ll = np.ascontiguousarray(u_ll, np.int32)
+    v_ll = np.ascontiguousarray(v_ll, np.int32)
+    slice_bytes = np.ascontiguousarray(slice_bytes, np.int64)
+    cap = int(slice_bytes.sum())
+    out = np.zeros(cap, dtype=np.uint8)
+    bases = np.zeros(ny * nx, dtype=np.int32)
+    tabs = [np.ascontiguousarray(t.reshape(61, -1), np.int32)
+            for t in (y_bits, y_last, u_bits, u_last, v_bits, v_last)]
+    n = _lib.ld_encode_tab(
+        yd.reshape(-1, Sy), ud.reshape(-1, Suv), vd.reshape(-1, Suv),
+        np.ascontiguousarray(y_qmo, np.int32),
+        np.ascontiguousarray(uv_qmo, np.int32),
+        ny, nx, Sy, Suv, y_bh, y_bw, uv_bh, uv_bw,
+        y_ll, u_ll, v_ll,
+        y_ll.shape[1], y_ll.shape[0], u_ll.shape[1], u_ll.shape[0],
+        dc_qm, slice_bytes.reshape(-1), *tabs, out, cap, bases)
+    if n < 0:
+        raise ValueError("low-delay slice overflow")
+    return out.tobytes(), bases.reshape(ny, nx)

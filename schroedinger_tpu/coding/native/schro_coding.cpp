@@ -1605,3 +1605,191 @@ void frame_md5(const uint8_t* y, int yw, int yh,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Low-delay slice search using TPU-precomputed per-base aggregates.
+//
+// bits_tab/last_tab: (61, n_slices) int32 — total sint bits and last-nonzero
+// position of the NON-DC segment at each base index (computed on device by
+// pipeline.make_lowdelay_analyze). The host then only runs the DC chains and
+// table lookups during the search, and one final quantise pass for packing.
+
+extern "C" {
+
+int64_t ld_encode_tab(
+    const int32_t* yd, const int32_t* ud, const int32_t* vd,
+    const int32_t* y_qmo, const int32_t* uv_qmo,
+    int ny, int nx, int Sy, int Suv,
+    int y_bh, int y_bw, int uv_bh, int uv_bw,
+    const int32_t* y_ll, const int32_t* u_ll, const int32_t* v_ll,
+    int y_llw, int y_llh, int uv_llw, int uv_llh,
+    int dc_qm,
+    const int64_t* slice_bytes,
+    const int32_t* y_bits_tab, const int32_t* y_last_tab,
+    const int32_t* u_bits_tab, const int32_t* u_last_tab,
+    const int32_t* v_bits_tab, const int32_t* v_last_tab,
+    uint8_t* out, int64_t out_capacity,
+    int32_t* chosen_base_out) {
+  qf_magic_init();
+  int dcs_y = y_bh * y_bw;
+  int dcs_uv = uv_bh * uv_bw;
+  int n_slices = ny * nx;
+
+  int32_t* y_recon = (int32_t*)calloc((size_t)y_llw * y_llh, 4);
+  int32_t* u_recon = (int32_t*)calloc((size_t)uv_llw * uv_llh, 4);
+  int32_t* v_recon = (int32_t*)calloc((size_t)uv_llw * uv_llh, 4);
+  int64_t* dqy = (int64_t*)malloc(sizeof(int64_t) * dcs_y);
+  int64_t* dqu = (int64_t*)malloc(sizeof(int64_t) * dcs_uv);
+  int64_t* dqv = (int64_t*)malloc(sizeof(int64_t) * dcs_uv);
+  int64_t* qy = (int64_t*)malloc(sizeof(int64_t) * Sy);
+  int64_t* qu = (int64_t*)malloc(sizeof(int64_t) * Suv);
+  int64_t* qv = (int64_t*)malloc(sizeof(int64_t) * Suv);
+
+  BitWriter bw;
+  memset(out, 0, (size_t)out_capacity);
+  bw.init(out, out_capacity);
+
+  int si = 0;
+  for (int sy = 0; sy < ny; sy++) {
+    for (int sx = 0; sx < nx; sx++, si++) {
+      int sbytes = (int)slice_bytes[si];
+      int length_bits = ilog2up(8 * (uint32_t)sbytes);
+      const int32_t* yv = yd + (int64_t)si * Sy;
+      const int32_t* uv_ = ud + (int64_t)si * Suv;
+      const int32_t* vv = vd + (int64_t)si * Suv;
+
+      int y_bits_f = 0, trail_y_f = 0, trail_uv_f = 0;
+
+      auto estimate = [&](int base) {
+        int qi0 = std::min(std::max(base - dc_qm, 0), 60);
+        ld_quant_dc_block(y_ll, y_recon, y_llw, sy * y_bh, (sy + 1) * y_bh,
+                          sx * y_bw, (sx + 1) * y_bw, qi0, dqy);
+        ld_quant_dc_block(u_ll, u_recon, uv_llw, sy * uv_bh, (sy + 1) * uv_bh,
+                          sx * uv_bw, (sx + 1) * uv_bw, qi0, dqu);
+        ld_quant_dc_block(v_ll, v_recon, uv_llw, sy * uv_bh, (sy + 1) * uv_bh,
+                          sx * uv_bw, (sx + 1) * uv_bw, qi0, dqv);
+
+        int dc_bits_y = 0, dc_last_y = -1;
+        for (int k = 0; k < dcs_y; k++) {
+          dc_bits_y += sint_bits(dqy[k]);
+          if (dqy[k]) dc_last_y = k;
+        }
+        int dc_bits_u = 0, dc_last_u = -1;
+        int dc_bits_v = 0, dc_last_v = -1;
+        for (int k = 0; k < dcs_uv; k++) {
+          dc_bits_u += sint_bits(dqu[k]);
+          if (dqu[k]) dc_last_u = k;
+          dc_bits_v += sint_bits(dqv[k]);
+          if (dqv[k]) dc_last_v = k;
+        }
+
+        int64_t ti = (int64_t)base * n_slices + si;
+        int y_bits = dc_bits_y + y_bits_tab[ti];
+        int ynl = y_last_tab[ti];
+        int y_last = ynl >= 0 ? dcs_y + ynl : dc_last_y;
+        int trail_y = (y_last >= 0) ? (Sy - 1 - y_last) : Sy;
+
+        int u_bits = dc_bits_u + u_bits_tab[ti];
+        int unl = u_last_tab[ti];
+        int u_last = unl >= 0 ? dcs_uv + unl : dc_last_u;
+        int trail_u = (u_last >= 0) ? (Suv - 1 - u_last) : Suv;
+        int v_bits = dc_bits_v + v_bits_tab[ti];
+        int vnl = v_last_tab[ti];
+        int v_last = vnl >= 0 ? dcs_uv + vnl : dc_last_v;
+        int trail_v = (v_last >= 0) ? (Suv - 1 - v_last) : Suv;
+        int trail_uv = 2 * std::min(trail_u, trail_v);
+
+        y_bits_f = y_bits;
+        trail_y_f = trail_y;
+        trail_uv_f = trail_uv;
+        return 7 + length_bits + y_bits + u_bits + v_bits - trail_y - trail_uv;
+      };
+
+      int base;
+      int n_est = estimate(0);
+      if (n_est <= sbytes * 8) {
+        base = 0;
+      } else {
+        int i = 0;
+        for (int size = 32; size >= 1; size >>= 1) {
+          n_est = estimate(i + size);
+          if (n_est >= sbytes * 8) i += size;
+        }
+        estimate(i + 1);
+        base = i + 1;
+      }
+      chosen_base_out[si] = base;
+
+      // final quantise at the chosen base (single pass) for the emit
+      for (int k = 0; k < dcs_y; k++) qy[k] = dqy[k];
+      for (int seg = dcs_y; seg < Sy;) {
+        int32_t qmo_v = y_qmo[seg];
+        int seg_end = seg;
+        while (seg_end < Sy && y_qmo[seg_end] == qmo_v) seg_end++;
+        int qi = std::min(std::max(base - qmo_v, 0), 60);
+        int64_t qf = QUANT_FACTOR[qi], qo = QUANT_OFFSET_1_2[qi];
+        int64_t offset = qo - qf / 2;
+        uint64_t M = QF_MAGIC[qi].M;
+        int S = QF_MAGIC[qi].S;
+        for (int k = seg; k < seg_end; k++) {
+          int64_t v = yv[k];
+          int64_t x = (v < 0 ? -v : v) << 2;
+          int64_t mag = x < qo ? 0
+              : (int64_t)(((__uint128_t)(uint64_t)(x - offset) * M) >> S);
+          qy[k] = v < 0 ? -mag : mag;
+        }
+        seg = seg_end;
+      }
+      for (int k = 0; k < dcs_uv; k++) { qu[k] = dqu[k]; qv[k] = dqv[k]; }
+      for (int seg = dcs_uv; seg < Suv;) {
+        int32_t qmo_v = uv_qmo[seg];
+        int seg_end = seg;
+        while (seg_end < Suv && uv_qmo[seg_end] == qmo_v) seg_end++;
+        int qi = std::min(std::max(base - qmo_v, 0), 60);
+        int64_t qf = QUANT_FACTOR[qi], qo = QUANT_OFFSET_1_2[qi];
+        int64_t offset = qo - qf / 2;
+        uint64_t M = QF_MAGIC[qi].M;
+        int S = QF_MAGIC[qi].S;
+        for (int k = seg; k < seg_end; k++) {
+          int64_t v1 = uv_[k];
+          int64_t x1 = (v1 < 0 ? -v1 : v1) << 2;
+          int64_t m1 = x1 < qo ? 0
+              : (int64_t)(((__uint128_t)(uint64_t)(x1 - offset) * M) >> S);
+          qu[k] = v1 < 0 ? -m1 : m1;
+          int64_t v2 = vv[k];
+          int64_t x2 = (v2 < 0 ? -v2 : v2) << 2;
+          int64_t m2 = x2 < qo ? 0
+              : (int64_t)(((__uint128_t)(uint64_t)(x2 - offset) * M) >> S);
+          qv[k] = v2 < 0 ? -m2 : m2;
+        }
+        seg = seg_end;
+      }
+
+      int64_t start = bw.pos;
+      bw.put_bits(7, base);
+      int slice_y_length = y_bits_f - trail_y_f;
+      bw.put_bits(length_bits, slice_y_length);
+      int ny_coef = Sy - trail_y_f;
+      for (int k = 0; k < ny_coef; k++) bw.put_sint(qy[k]);
+      int nuv_pair = Suv - trail_uv_f / 2;
+      for (int k = 0; k < nuv_pair; k++) {
+        bw.put_sint(qu[k]);
+        bw.put_sint(qv[k]);
+      }
+      int64_t used = bw.pos - start;
+      int64_t cap_bits = (int64_t)sbytes * 8;
+      if (used > cap_bits) {
+        free(y_recon); free(u_recon); free(v_recon);
+        free(dqy); free(dqu); free(dqv); free(qy); free(qu); free(qv);
+        return -1;
+      }
+      while (bw.pos < start + cap_bits) bw.put_bit(1);
+    }
+  }
+
+  free(y_recon); free(u_recon); free(v_recon);
+  free(dqy); free(dqu); free(dqv); free(qy); free(qu); free(qv);
+  return bw.pos / 8;
+}
+
+}  // extern "C"

@@ -236,12 +236,47 @@ def encode_picture_from_slices(y_sl, u_sl, v_sl, p: Params,
     return _picture_headers(p, frame_number, is_ref) + payload
 
 
+def encode_picture_from_analysis(host_data, p: Params, frame_number: int,
+                                 is_ref: bool) -> bytes:
+    """Table-driven host half: the TPU already computed per-base bit
+    aggregates, so the search only runs DC chains + lookups."""
+    (y_sl, u_sl, v_sl, yb, yl, ub, ul, vb, vl) = host_data
+    depth = p.transform_depth
+    ny, nx = p.n_vert_slices, p.n_horiz_slices
+    llh_y, llw_y = p.iwt_luma_height >> depth, p.iwt_luma_width >> depth
+    llh_uv, llw_uv = p.iwt_chroma_height >> depth, p.iwt_chroma_width >> depth
+    dcs_y = (llh_y // ny) * (llw_y // nx)
+    dcs_uv = (llh_uv // ny) * (llw_uv // nx)
+    y_ll = sl.from_slices(y_sl[..., :dcs_y], [(llh_y, llw_y)], ny, nx)[0]
+    u_ll = sl.from_slices(u_sl[..., :dcs_uv], [(llh_uv, llw_uv)], ny, nx)[0]
+    v_ll = sl.from_slices(v_sl[..., :dcs_uv], [(llh_uv, llw_uv)], ny, nx)[0]
+    y_qmo, uv_qmo, sbytes = _host_arrays(p)
+    payload, _bases = _native.ld_encode_tab(
+        y_sl, u_sl, v_sl, y_qmo, uv_qmo, ny, nx,
+        llh_y // ny, llw_y // nx, llh_uv // ny, llw_uv // nx,
+        y_ll, u_ll, v_ll, int(p.quant_matrix[0]), sbytes,
+        yb, yl, ub, ul, vb, vl)
+    return _picture_headers(p, frame_number, is_ref) + payload
+
+
+def fetch_analysis(dev_out):
+    """Device outputs of make_lowdelay_analyze -> host arrays (int32)."""
+    ys, us, vs, y_agg, u_agg, v_agg = dev_out
+    return (np.ascontiguousarray(np.asarray(ys), np.int32),
+            np.ascontiguousarray(np.asarray(us), np.int32),
+            np.ascontiguousarray(np.asarray(vs), np.int32),
+            np.asarray(y_agg[0]), np.asarray(y_agg[1]),
+            np.asarray(u_agg[0]), np.asarray(u_agg[1]),
+            np.asarray(v_agg[0]), np.asarray(v_agg[1]))
+
+
 def _encode_picture_native(planes_u8, p: Params, frame_number: int,
                            is_ref: bool) -> bytes:
-    """Fast path: TPU transform+slicing, native C++ search + packing."""
-    transform = _get_transform_fn(p)
-    ys, us, vs = transform(*[jnp.asarray(pl) for pl in planes_u8])
-    return encode_picture_from_slices(ys, us, vs, p, frame_number, is_ref)
+    """Fast path: TPU transform+aggregates, native table-driven search."""
+    analyze = _get_analyze_fn(p)
+    dev = analyze(*[jnp.asarray(pl) for pl in planes_u8])
+    return encode_picture_from_analysis(fetch_analysis(dev), p,
+                                        frame_number, is_ref)
 
 
 def encode_picture(planes_u8, params: Params, frame_number: int,

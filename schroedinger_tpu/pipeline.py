@@ -59,14 +59,13 @@ def make_lowdelay_analyze(p: Params):
         h, w = x.shape
         x = jnp.pad(x, ((0, oh - h), (0, ow - w)), mode="edge")
         pyr = wv.forward(x, depth, wavelet)
-        bands = sl.subband_arrays(pyr, depth)
-        bands = [b.astype(jnp.int32) for b in bands]
+        bands = list(sl.subband_arrays(pyr, depth))  # int16 on the wire
         sliced, bidx = sl.to_slices(bands, ny, nx)
         return sliced, bidx
 
     def aggregates(sliced, qmo, dcs):
         """Per-base (61) bits + last-nonzero over the non-DC segment."""
-        nd = sliced[..., dcs:]
+        nd = sliced[..., dcs:].astype(jnp.int32)
         qmo_nd = jnp.asarray(qmo[dcs:])
         pos = jnp.arange(nd.shape[-1], dtype=jnp.int32)
 
