@@ -188,17 +188,11 @@ class GopEncoder:
                     hcb, vcb = ei_inter._codeblock_counts(p, i)
                     qi = int(np.clip(base - qm[i], 0, 60))
                     qis[(comp, i)] = np.full((vcb, hcb), qi, np.int32)
-            unit = ei_intra.encode_picture(planes, p, num, quant_indices=qis,
-                                           is_ref=True,
-                                           retired=self.prev_ref)
-            # reconstruct via our own decoder path (bit-exact with decoders)
-            r = BitReader(unit[13:])
-            r.read_bits(32)
-            r.read_sint()  # retired
-            r.sync()
-            bs.read_transform_parameters(r, p)
-            r.sync()
-            recon = di_intra.decode_picture(unit[13 + r.bits_read // 8:], p)
+            unit, recon = ei_intra.encode_picture(planes, p, num,
+                                                  quant_indices=qis,
+                                                  is_ref=True,
+                                                  retired=self.prev_ref,
+                                                  return_recon=True)
             if self.rc:
                 self.rc.update(len(unit) * 8)
         else:

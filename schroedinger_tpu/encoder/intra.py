@@ -43,7 +43,8 @@ def _codeblock_counts(p: Params, index: int):
 
 def encode_picture(planes_u8, p: Params, frame_number: int,
                    quant_indices=None, is_ref: bool = False,
-                   retired: int | None = None) -> bytes:
+                   retired: int | None = None,
+                   return_recon: bool = False):
     """Encode one intra picture; quant_indices: either None (all zero:
     lossless), an int, or a map (component, subband) -> (vcb, hcb) array."""
     depth = p.transform_depth
@@ -64,6 +65,7 @@ def encode_picture(planes_u8, p: Params, frame_number: int,
     w.sync()
 
     bit_depth = p.video_format.bit_depth
+    recon_planes = []
     for comp, (plane, (oh, ow)) in enumerate(zip(planes_u8, iwt_dims)):
         if bit_depth > 8:
             prepped = _prep_plane_deep(jnp.asarray(plane), oh, ow, bit_depth)
@@ -112,5 +114,25 @@ def encode_picture(planes_u8, p: Params, frame_number: int,
                 w.sync()
                 for byte in payload:
                     w.write_bits(8, byte)
+        if return_recon:
+            from schroedinger_tpu.coding import slices as _sl
+            from schroedinger_tpu.decoder.lowdelay import _inverse_jit, _to_u8
+            from schroedinger_tpu.decoder.intra import _to_deep
+            dt = np.int32 if bit_depth > 8 else np.int16
+            rpyr = _sl.arrays_to_pyramid(
+                [jnp.asarray(np.asarray(b, dtype=dt)) for b in deq_bands],
+                depth)
+            rplane = _inverse_jit(rpyr, p.wavelet_filter_index)
+            sizes = [p.video_format.picture_luma_size(),
+                     p.video_format.picture_chroma_size(),
+                     p.video_format.picture_chroma_size()]
+            (w_pic, h_pic) = sizes[comp]
+            if bit_depth > 8:
+                recon_planes.append(np.asarray(
+                    _to_deep(rplane, h_pic, w_pic, bit_depth)))
+            else:
+                recon_planes.append(np.asarray(_to_u8(rplane, h_pic, w_pic)))
     w.sync()
+    if return_recon:
+        return w.get_bytes(), tuple(recon_planes)
     return w.get_bytes()
