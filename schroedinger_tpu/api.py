@@ -123,17 +123,25 @@ class Encoder:
         bitrate = self.cfg.bitrate if self.cfg.rate_control == "constant_bitrate" \
             else 0
         fps = self.vf.frame_rate_numerator / self.vf.frame_rate_denominator
-        qi = (0 if self.cfg.rate_control == "lossless"
-              else _quality_to_qi(float(self.cfg.get("quality"))))
+        lossless = self.cfg.rate_control == "lossless"
+        qi = 0 if lossless else _quality_to_qi(float(self.cfg.get("quality")))
+        intra_w = Wavelet(self.cfg.intra_wavelet)
+        inter_w = Wavelet(self.cfg.inter_wavelet)
+        if lossless:
+            # reference lossless long-GOP forces Haar-0 (schroengine.c:547)
+            intra_w = inter_w = Wavelet.HAAR_0
         self._gop = GopEncoder(
             self.vf,
-            intra_wavelet=Wavelet(self.cfg.intra_wavelet),
-            inter_wavelet=Wavelet(self.cfg.inter_wavelet),
-            transform_depth=self.cfg.transform_depth,
+            intra_wavelet=intra_w,
+            inter_wavelet=inter_w,
+            transform_depth=min(self.cfg.transform_depth, 3) if lossless
+            else self.cfg.transform_depth,
             gop_length=min(self.cfg.au_distance, 24),
-            base_qi_intra=qi, base_qi_inter=min(60, qi + 4),
+            base_qi_intra=qi,
+            base_qi_inter=qi if lossless else min(60, qi + 4),
             bitrate=bitrate, fps=fps,
-            enable_md5=self.cfg.enable_md5)
+            enable_md5=self.cfg.enable_md5,
+            mv_precision=self.cfg.mv_precision)
 
     # ---- push/pull ------------------------------------------------------
 

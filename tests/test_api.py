@@ -51,3 +51,23 @@ def test_profiles_roundtrip(cfg, expected_profile):
     for g3, r3 in zip(mine, ref):
         for g, r in zip(g3, r3):
             np.testing.assert_array_equal(g, r)
+
+
+def test_lossless_longgop_exact():
+    """rate_control=lossless long-GOP: decoded output equals the input."""
+    frames = make_frames(4)
+    vf = VideoFormat(width=W, height=H, clean_width=W, clean_height=H,
+                     chroma_format=ChromaFormat.C420,
+                     frame_rate_numerator=25, frame_rate_denominator=1)
+    enc = Encoder(vf, EncoderConfig(rate_control="lossless", au_distance=4))
+    stream = enc.encode_stream(frames)
+    out = Decoder().decode_stream(stream)
+    assert len(out) == len(frames)
+    for g3, o3 in zip(out, frames):
+        for g, o in zip(g3, o3):
+            np.testing.assert_array_equal(g, o)
+    # and the reference decoder agrees
+    ref = so.decode(stream, W, H)
+    for g3, r3 in zip(out, ref):
+        for g, r in zip(g3, r3):
+            np.testing.assert_array_equal(g, r)
