@@ -195,14 +195,25 @@ class Encoder:
 
     def _encode_stream_lowdelay(self, frames) -> bytes:
         """Pipelined low-delay encode: TPU transform/transfer of frame N+1
-        overlaps the native entropy packing of frame N."""
-        import concurrent.futures as cf
+        overlaps the native entropy packing of frame N.
 
+        Two equivalent fast paths (byte-identical output): 'table' ships
+        TPU-computed 61-base bit aggregates so the host search is lookups;
+        'direct' ships only coefficients and probes on the host. Selected by
+        SCHRO_TPU_LD_PATH (the better one depends on link vs host speed)."""
+        import concurrent.futures as cf
+        import os as _os
+
+        self.ld_path = getattr(self, "ld_path", None) or             _os.environ.get("SCHRO_TPU_LD_PATH", "table")
         try:
-            from schroedinger_tpu.encoder.lowdelay import (
-                _get_analyze_fn, fetch_analysis)
+            if self.ld_path == "table":
+                from schroedinger_tpu.encoder.lowdelay import (
+                    _get_analyze_fn, fetch_analysis)
+                transform = _get_analyze_fn(self.params)
+            else:
+                from schroedinger_tpu.encoder.lowdelay import _get_transform_fn
+                transform = _get_transform_fn(self.params)
             import jax.numpy as jnp
-            transform = _get_analyze_fn(self.params)
         except Exception:
             transform = None
 
@@ -214,7 +225,12 @@ class Encoder:
             out += self.end_of_stream()
             return bytes(out)
 
-        from schroedinger_tpu.encoder.lowdelay import fetch_analysis as fetch
+        if self.ld_path == "table":
+            from schroedinger_tpu.encoder.lowdelay import fetch_analysis as fetch
+        else:
+            def fetch(dev_arrays):
+                return [np.ascontiguousarray(np.asarray(a), np.int32)
+                        for a in dev_arrays]
 
         import jax.numpy as jnp
         with cf.ThreadPoolExecutor(max_workers=1) as pool:
