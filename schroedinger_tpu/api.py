@@ -248,12 +248,18 @@ class Encoder:
         return bytes(out)
 
     def _emit_lowdelay(self, pending, out: bytearray) -> None:
-        from schroedinger_tpu.encoder.lowdelay import             encode_picture_from_analysis
+        from schroedinger_tpu.encoder.lowdelay import (
+            encode_picture_from_analysis, encode_picture_from_slices)
         fut, fnum = pending
         host_data = fut.result()
-        units = [bs.write_sequence_header(self.vf, profile=0, level=0),
-                 encode_picture_from_analysis(host_data, self.params, fnum,
-                                              is_ref=False)]
+        if self.ld_path == "table":
+            unit = encode_picture_from_analysis(host_data, self.params, fnum,
+                                                is_ref=False)
+        else:
+            ys, us, vs = host_data
+            unit = encode_picture_from_slices(ys, us, vs, self.params, fnum,
+                                              is_ref=False)
+        units = [bs.write_sequence_header(self.vf, profile=0, level=0), unit]
         out += self._chain.add(units)
 
 
