@@ -82,3 +82,25 @@ def qmat_offsets(params: Params, band_idx):
     qm = np.asarray(params.quant_matrix[: subband_count(params.transform_depth)],
                     dtype=np.int32)
     return qm[band_idx]
+
+
+def flatten_pyramid(pyr, depth: int):
+    """Concatenate all subbands into one flat device array (single transfer).
+
+    Returns (flat, shapes) where shapes[i] is the (h, w) of subband i."""
+    import jax.numpy as jnp
+    arrays = subband_arrays(pyr, depth)
+    shapes = [tuple(a.shape[-2:]) for a in arrays]
+    flat = jnp.concatenate([jnp.ravel(a) for a in arrays])
+    return flat, shapes
+
+
+def unflatten_host(flat_np, shapes):
+    """Host-side split of a flattened band array back into 2-D views."""
+    out = []
+    pos = 0
+    for (h, w) in shapes:
+        n = h * w
+        out.append(flat_np[pos:pos + n].reshape(h, w))
+        pos += n
+    return out

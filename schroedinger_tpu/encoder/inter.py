@@ -333,10 +333,19 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
         base_qi = rcmod.pick_base_qi(band_lists, p, target_bits, intra=False,
                                      correction=rc_correction)
 
+    import jax as _jax
+    flats = []
+    shapes3 = []
+    for comp in range(3):
+        flat, shapes = sl.flatten_pyramid(pyramids[comp], depth)
+        flats.append(flat)
+        shapes3.append(shapes)
+    host_flats = _jax.device_get(flats)  # one batched transfer
+
     recon_planes = []
     for comp in range(3):
-        pyr = pyramids[comp]
-        bands = [np.asarray(b) for b in sl.subband_arrays(pyr, depth)]
+        bands = [np.ascontiguousarray(b) for b in
+                 sl.unflatten_host(host_flats[comp], shapes3[comp])]
         deq_bands = [None] * nb
         for index in range(nb):
             hcb, vcb = _codeblock_counts(p, index)
