@@ -141,7 +141,9 @@ class Encoder:
             base_qi_inter=qi if lossless else min(60, qi + 4),
             bitrate=bitrate, fps=fps,
             enable_md5=self.cfg.enable_md5,
-            mv_precision=self.cfg.mv_precision)
+            mv_precision=self.cfg.mv_precision,
+            enable_phasecorr=bool(
+                self.cfg.get("enable_phasecorr_estimation")))
 
     # ---- push/pull ------------------------------------------------------
 

@@ -36,6 +36,7 @@ class GopEncoder:
                  enable_scene_change: bool = True,
                  scene_change_threshold: float = 3.0,
                  b_frames: int = 0,
+                 enable_phasecorr: bool = False,
                  stats=None):
         self.vf = video_format
         self.intra_wavelet = intra_wavelet
@@ -62,6 +63,7 @@ class GopEncoder:
             stats = FrameStats()
         self.stats = stats
         self.b_frames = b_frames
+        self.enable_phasecorr = enable_phasecorr
         self._bbuf = []  # buffered (num, planes) awaiting the next reference
         self.rc = None
         if bitrate:
@@ -202,7 +204,8 @@ class GopEncoder:
                 planes, p, num, self.last_ref, self.ref_frames[self.last_ref],
                 base_qi=self.base_qi_inter, is_ref=True,
                 retired=self.prev_ref, target_bits=target,
-                rc_correction=self.rc.correction if self.rc else 1.0)
+                rc_correction=self.rc.correction if self.rc else 1.0,
+                use_phasecorr=self.enable_phasecorr)
             if self.rc:
                 self.rc.update(len(unit) * 8)
         if self.enable_md5:

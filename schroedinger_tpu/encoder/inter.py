@@ -41,16 +41,34 @@ except Exception:  # pragma: no cover
 _ME_CACHE = {}
 
 
-def _get_me(p: Params):
+def _get_me(p: Params, n_extra: int = 0):
     vf = p.video_format
     key = (vf.width, vf.height, p.xbsep_luma, p.ybsep_luma,
-           p.x_num_blocks, p.y_num_blocks)
+           p.x_num_blocks, p.y_num_blocks, n_extra)
     fn = _ME_CACHE.get(key)
     if fn is None:
         fn = me_mod.make_me_fn(vf.height, vf.width, p.xbsep_luma,
-                               p.ybsep_luma, p.x_num_blocks, p.y_num_blocks)
+                               p.ybsep_luma, p.x_num_blocks, p.y_num_blocks,
+                               n_extra=n_extra)
         _ME_CACHE[key] = fn
     return fn
+
+
+N_PHASECORR_CANDS = 8
+
+
+def _phasecorr_candidates(p: Params, cur_y, ref_y):
+    """Phase-correlation candidate vectors for this frame pair (device)."""
+    from schroedinger_tpu.encoder import phasecorr as pcm
+    vf = p.video_format
+    key = ("pc", vf.width, vf.height)
+    fn = _ME_CACHE.get(key)
+    if fn is None:
+        fn = pcm.make_phasecorr_fn(vf.height, vf.width)
+        _ME_CACHE[key] = fn
+    vecs = fn(cur_y, ref_y)
+    return jnp.asarray(
+        pcm.pick_candidates(np.asarray(vecs), n=N_PHASECORR_CANDS))
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
@@ -120,13 +138,22 @@ def _enforce_units(mv_fields, split, xnb, ynb):
                             arr[j + a, i + b]
 
 
-def estimate_motion(planes_u8, ref: RefFrame, p: Params, lambda_dc=1.1):
-    """Full-pel ME + mode decision. Returns the MV field dict."""
+def estimate_motion(planes_u8, ref: RefFrame, p: Params, lambda_dc=1.1,
+                    use_phasecorr=False):
+    """Full-pel ME + mode decision. Returns the MV field dict.
+
+    use_phasecorr adds FFT phase-correlation candidate vectors to the
+    search (schromotionest.c:80,1206 under enable_phasecorr_estimation)."""
     xnb, ynb = p.x_num_blocks, p.y_num_blocks
     cur_y = jnp.asarray(planes_u8[0])
     ref_y = jnp.asarray(ref.planes[0])
-    me = _get_me(p)
-    dy, dx = me(cur_y, ref_y)
+    if use_phasecorr:
+        cands = _phasecorr_candidates(p, cur_y, ref_y)
+        me = _get_me(p, n_extra=N_PHASECORR_CANDS)
+        dy, dx = me(cur_y, ref_y, cands)
+    else:
+        me = _get_me(p)
+        dy, dx = me(cur_y, ref_y)
     mv = jnp.stack([dy, dx], axis=-1)
     if p.mv_precision > 0:
         vf0 = p.video_format
@@ -265,7 +292,8 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
                          base_qi: int = 20, is_ref: bool = True,
                          retired: Optional[int] = None,
                          target_bits: Optional[int] = None,
-                         rc_correction: float = 1.0):
+                         rc_correction: float = 1.0,
+                         use_phasecorr: bool = False):
     """Encode one P picture. Returns (parse_unit_bytes, recon_planes,
     estimated_bits)."""
     assert _native is not None
@@ -273,7 +301,7 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
     nb = subband_count(depth)
     vf = p.video_format
 
-    mv = estimate_motion(planes_u8, ref1, p)
+    mv = estimate_motion(planes_u8, ref1, p, use_phasecorr=use_phasecorr)
     preds = render_prediction(mv, p, ref1)
 
     # residuals -> IWT -> quantise + arith encode

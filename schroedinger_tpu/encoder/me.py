@@ -57,15 +57,23 @@ def _grid_cands(radius, step=1):
 
 
 def make_me_fn(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
-               levels=3, coarse_radius=8, refine_radius=2):
-    """Build a jitted ME: (cur_y u8, ref_y u8) -> (dy, dx) per block (pel)."""
+               levels=3, coarse_radius=8, refine_radius=2, n_extra=0):
+    """Build a jitted ME: (cur_y u8, ref_y u8) -> (dy, dx) per block (pel).
+
+    With n_extra > 0 the function takes a third argument, an (n_extra, 2)
+    int32 array of (dy, dx) full-pel candidates (e.g. phase-correlation
+    vectors, schro_motionest_superblock_phasecorr1 analog): each block takes
+    whichever of {hierarchy result, candidates} has the lowest SAD, then a
+    local rescan recovers per-block detail around the winner — so large
+    global/secondary motions beyond the pyramid's reach are still found.
+    """
     pad_h = ybsep * y_num_blocks
     pad_w = xbsep * x_num_blocks
 
     cands_coarse = jnp.asarray(_grid_cands(coarse_radius))
     cands_refine = jnp.asarray(_grid_cands(refine_radius))
 
-    def me(cur, ref):
+    def me(cur, ref, extra=None):
         cur = jnp.pad(cur, ((0, pad_h - H), (0, pad_w - W)), mode="edge")
         ref = jnp.pad(ref, ((0, pad_h - H), (0, pad_w - W)), mode="edge")
 
@@ -120,6 +128,43 @@ def make_me_fn(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                 _, sads = jax.lax.scan(sad_at, None, cands_refine)
                 best = jnp.argmin(sads, axis=0)
                 mv = hint + cands_refine[best]
+
+        if n_extra:
+            # compare the hierarchy result against the uniform candidates
+            h, w = pyr_c[0].shape
+            h = h // ybsep * ybsep
+            w = w // xbsep * xbsep
+            c0 = pyr_c[0][:h, :w]
+            r0 = pyr_r[0][:h, :w]
+            nby, nbx = h // ybsep, w // xbsep
+            own_sad = _sad_displaced(c0, r0, ybsep, xbsep, mv)
+            ext_sads = _block_sads(c0, r0, ybsep, xbsep, extra)
+            all_sads = jnp.concatenate([own_sad[None], ext_sads], axis=0)
+            all_mvs = jnp.concatenate(
+                [mv[None],
+                 jnp.broadcast_to(extra[:, None, None, :],
+                                  (n_extra, nby, nbx, 2))], axis=0)
+            best = jnp.argmin(all_sads, axis=0)          # (nby, nbx)
+            mv = jnp.take_along_axis(
+                all_mvs, best[None, ..., None], axis=0)[0]
+            # local rescan around the winner (aligned gather + rolls)
+            yy = jnp.arange(h)
+            xx = jnp.arange(w)
+            dy_pix = jnp.repeat(jnp.repeat(mv[..., 0], ybsep, 0), xbsep, 1)
+            dx_pix = jnp.repeat(jnp.repeat(mv[..., 1], ybsep, 0), xbsep, 1)
+            src_y = jnp.clip(yy[:, None] + dy_pix, 0, h - 1)
+            src_x = jnp.clip(xx[None, :] + dx_pix, 0, w - 1)
+            aligned = r0[src_y, src_x].astype(jnp.int32)
+            ci = c0.astype(jnp.int32)
+
+            def sad_at2(_, d):
+                shifted = jnp.roll(aligned, (-d[0], -d[1]), axis=(0, 1))
+                diff = jnp.abs(ci - shifted)
+                return None, diff.reshape(nby, ybsep, nbx, xbsep).sum((1, 3))
+
+            _, sads = jax.lax.scan(sad_at2, None, cands_refine)
+            best = jnp.argmin(sads, axis=0)
+            mv = mv + cands_refine[best]
         return mv[..., 0], mv[..., 1]
 
     def _sad_displaced(c, r, bs_y, bs_x, disp):
