@@ -142,6 +142,9 @@ class Encoder:
             bitrate=bitrate, fps=fps,
             enable_md5=self.cfg.enable_md5,
             mv_precision=self.cfg.mv_precision,
+            b_frames=(2 if self.cfg.gop_structure in ("biref",
+                                                      "chained_biref")
+                      else 0),
             enable_phasecorr=bool(
                 self.cfg.get("enable_phasecorr_estimation")))
 

@@ -46,6 +46,14 @@ class BitWriter:
         if m:
             self.write_bit(1 if v < 0 else 0)
 
+    def write_bytes(self, data: bytes) -> None:
+        """Bulk byte append (payload copy after sync; schro_pack_append)."""
+        if self._nbits == 0:
+            self._bytes += data
+        else:
+            for byte in data:
+                self.write_bits(8, byte)
+
     def sync(self) -> None:
         """Byte-align (pad with zero bits) — schro_pack_sync."""
         if self._nbits:

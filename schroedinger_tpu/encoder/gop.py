@@ -210,8 +210,9 @@ class GopEncoder:
                 self.rc.update(len(unit) * 8)
         if self.enable_md5:
             from schroedinger_tpu.coding import native as _native
-            units.append(bs.make_aux_unit(bs.AUX_MD5_CHECKSUM,
-                                          _native.frame_md5(recon)))
+            units.append(bs.make_aux_unit(
+                bs.AUX_MD5_CHECKSUM,
+                _native.frame_md5(tuple(np.asarray(pl) for pl in recon))))
         units.append(unit)
 
         if self.prev_ref is not None:

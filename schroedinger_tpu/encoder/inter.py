@@ -230,6 +230,262 @@ def _residual(plane_u8, pred, iwt_h, iwt_w):
     return jnp.pad(res, ((0, iwt_h - h), (0, iwt_w - w)))
 
 
+def _band_shapes(oh: int, ow: int, depth: int):
+    """Static (h, w) of each Mallat subband in Dirac index order."""
+    from schroedinger_tpu.params import subband_info
+    shapes = [(oh >> depth, ow >> depth)]
+    for i in range(1, subband_count(depth)):
+        level, _ = subband_info(i, depth)
+        shapes.append((oh >> (level + 1), ow >> (level + 1)))
+    return shapes
+
+
+def _get_p_pipeline(p: Params, want_recon: bool):
+    """Fused device pipeline for inter residual coding. Three jitted fns:
+
+      transform(y, u, v, pred_y, pred_u, pred_v) -> 3 flat int16 band arrays
+      rc_bits(f_y, f_u, f_v) -> (61,) coded-bit estimate per base index
+      quant_recon(f_y, f_u, f_v, preds..., qi_bands) ->
+          3 flat int16 quantised arrays [+ 3 u8 recon planes if want_recon]
+
+    The flats and reconstruction never leave the device except for the one
+    batched quantised-data fetch the host entropy coder needs; qi_bands is a
+    traced (nb,) vector so rate-control choices don't recompile.  Replaces
+    the reference's per-subband host quantise/IIWT round trips
+    (schroencoder.c:3798-4072) with whole-frame TPU programs.
+    """
+    vf = p.video_format
+    depth = p.transform_depth
+    wavelet = p.wavelet_filter_index
+    key = ("pq", vf.width, vf.height, depth, int(wavelet),
+           vf.chroma_format, want_recon)
+    hit = _ME_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    from schroedinger_tpu import tables
+    from schroedinger_tpu.ops import quant as q
+    from schroedinger_tpu.ops import wavelet as wv
+
+    nb = subband_count(depth)
+    qm = np.asarray(p.quant_matrix[:nb], np.int32)
+    iwt_dims = [(p.iwt_luma_height, p.iwt_luma_width),
+                (p.iwt_chroma_height, p.iwt_chroma_width),
+                (p.iwt_chroma_height, p.iwt_chroma_width)]
+    pic_sizes = [vf.picture_luma_size(), vf.picture_chroma_size(),
+                 vf.picture_chroma_size()]
+    shapes3 = [_band_shapes(oh, ow, depth) for (oh, ow) in iwt_dims]
+    sizes3 = [np.asarray([h * w for (h, w) in shapes], np.int64)
+              for shapes in shapes3]
+    QF = jnp.asarray(tables.QUANT_FACTOR, jnp.int32)
+    QO = jnp.asarray(tables.QUANT_OFFSET_3_8, jnp.int32)
+
+    def transform(y, u, v, py, pu, pv):
+        flats = []
+        for plane, pred, (oh, ow) in zip((y, u, v), (py, pu, pv), iwt_dims):
+            h, w = plane.shape
+            res = plane.astype(jnp.int16) - 128 - pred.astype(jnp.int16)
+            res = jnp.pad(res, ((0, oh - h), (0, ow - w)))
+            pyr = wv.forward(res, depth, wavelet)
+            flat, _ = sl.flatten_pyramid(pyr, depth)
+            flats.append(flat)
+        return tuple(flats)
+
+    def rc_bits(fy, fu, fv):
+        from schroedinger_tpu.encoder.ratecontrol import _sint_bits
+        qmj = jnp.asarray(qm)
+        flat = jnp.concatenate([fy, fu, fv]).astype(jnp.int32)
+        qmo = jnp.concatenate(
+            [jnp.repeat(qmj, sizes, total_repeat_length=int(sizes.sum()))
+             for sizes in sizes3])
+
+        def one(base):
+            qi = jnp.clip(base - qmo, 0, 60)
+            qq = q.quantise(flat, QF[qi], QO[qi])
+            return _sint_bits(qq).astype(jnp.float32).sum().astype(jnp.int32)
+
+        return jax.lax.map(one, jnp.arange(61, dtype=jnp.int32))
+
+    def quant_recon(fy, fu, fv, py, pu, pv, qi_bands):
+        outq = []
+        outr = []
+        for f, pred, shapes, sizes, (wpic, hpic) in zip(
+                (fy, fu, fv), (py, pu, pv), shapes3, sizes3, pic_sizes):
+            n = int(sizes.sum())
+            qf = jnp.repeat(QF[qi_bands], sizes, total_repeat_length=n)
+            qo = jnp.repeat(QO[qi_bands], sizes, total_repeat_length=n)
+            qq = q.quantise(f, qf, qo)
+            outq.append(qq.astype(jnp.int16))
+            if want_recon:
+                dq = q.dequantise(qq, qf, qo).astype(jnp.int16)
+                bands = []
+                pos = 0
+                for (h, w) in shapes:
+                    bands.append(dq[pos:pos + h * w].reshape(h, w))
+                    pos += h * w
+                rpyr = sl.arrays_to_pyramid(bands, depth)
+                rres = wv.inverse(rpyr, wavelet)
+                rec = (rres[:hpic, :wpic].astype(jnp.int32)
+                       + pred.astype(jnp.int32) + 128)
+                outr.append(jnp.clip(rec, 0, 255).astype(jnp.uint8))
+        return tuple(outq) + tuple(outr)
+
+    fns = (jax.jit(transform), jax.jit(rc_bits), jax.jit(quant_recon),
+           shapes3)
+    _ME_CACHE[key] = fns
+    return fns
+
+
+def _derive_splits_dev(keys, ynb, xnb):
+    """Device analog of _derive_splits: keys (ynb, xnb, K) int32 ->
+    (ynb, xnb) split field (0/1/2 by intra-superblock equality)."""
+    Y, X = ynb // 4, xnb // 4
+    b = keys.reshape(Y, 4, X, 4, keys.shape[-1]).transpose(0, 2, 1, 3, 4)
+    eq0 = (b == b[:, :, :1, :1, :]).all(axis=(-3, -2, -1))
+    q = b.reshape(Y, X, 2, 2, 2, 2, keys.shape[-1])  # (qy, iy, qx, ix, K)
+    eq1 = (q == q[:, :, :, :1, :, :1, :]).all(axis=(3, 5, 6)).all(axis=(2, 3))
+    split = jnp.where(eq0, 0, jnp.where(eq1, 1, 2)).astype(jnp.int32)
+    return jnp.repeat(jnp.repeat(split, 4, axis=0), 4, axis=1)
+
+
+_P_FIELD_ORDER = ("split", "pred_mode", "using_global", "dx1", "dy1",
+                  "dx2", "dy2", "dc0", "dc1", "dc2")
+
+
+def _get_p_step(p: Params, n_extra: int = 0):
+    """One fused jitted program for a whole P picture (TPU-first analog of
+    the reference's per-stage encoder lifecycle, schroencoder.c:2500-2700):
+
+      step(y, u, v, ref_y, up_y, up_u, up_v, qi_bands[, extra]) ->
+          (fields..., qflat_y, qflat_u, qflat_v, recon_y, recon_u, recon_v,
+           rc_bits)
+
+    ME, sub-pel refine, mode decision, split derivation, OBMC render,
+    residual IWT, quantisation, and reference reconstruction all trace into
+    a single XLA executable — one dispatch + one batched host fetch per
+    frame, which matters when device round trips are ~100 ms.  rc_bits is
+    the (61,) per-base coded-bit estimate (used next frame by CBR; one
+    frame of lag instead of a second dispatch).
+    """
+    vf = p.video_format
+    key = ("pstep", vf.width, vf.height, p.transform_depth,
+           int(p.wavelet_filter_index), vf.chroma_format, p.mv_precision,
+           p.xbsep_luma, p.ybsep_luma, p.xblen_luma, p.yblen_luma, n_extra)
+    hit = _ME_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    from schroedinger_tpu import tables
+    from schroedinger_tpu.ops import quant as q
+    from schroedinger_tpu.ops import wavelet as wv
+
+    depth = p.transform_depth
+    wavelet = p.wavelet_filter_index
+    nb = subband_count(depth)
+    qm = np.asarray(p.quant_matrix[:nb], np.int32)
+    xnb, ynb = p.x_num_blocks, p.y_num_blocks
+    h_shift = vf.chroma_format.h_shift
+    v_shift = vf.chroma_format.v_shift
+    iwt_dims = [(p.iwt_luma_height, p.iwt_luma_width),
+                (p.iwt_chroma_height, p.iwt_chroma_width),
+                (p.iwt_chroma_height, p.iwt_chroma_width)]
+    pic_sizes = [vf.picture_luma_size(), vf.picture_chroma_size(),
+                 vf.picture_chroma_size()]
+    shapes3 = [_band_shapes(oh, ow, depth) for (oh, ow) in iwt_dims]
+    sizes3 = [np.asarray([h * w for (h, w) in shapes], np.int64)
+              for shapes in shapes3]
+    QF = jnp.asarray(tables.QUANT_FACTOR, jnp.int32)
+    QO = jnp.asarray(tables.QUANT_OFFSET_3_8, jnp.int32)
+
+    me_body = me_mod.make_me_body(vf.height, vf.width, p.xbsep_luma,
+                                  p.ybsep_luma, xnb, ynb, n_extra=n_extra)
+    subpel_body = (me_mod.make_subpel_body(
+        vf.height, vf.width, p.xbsep_luma, p.ybsep_luma, xnb, ynb,
+        p.mv_precision) if p.mv_precision > 0 else None)
+    render_body = obmc.make_render_body(p, 1)
+
+    def step(y, u, v, ref_y, up_y, up_u, up_v, qi_bands, extra=None):
+        dy, dx = me_body(y, ref_y, extra) if n_extra else me_body(y, ref_y)
+        mvs = jnp.stack([dy, dx], axis=-1)
+        sad_mc, sad_dc, mean_y = _mode_stats(y, ref_y, mvs, p.ybsep_luma,
+                                             p.xbsep_luma, ynb, xnb)
+        mean_u = _block_means(u, None, p.ybsep_luma >> v_shift,
+                              p.xbsep_luma >> h_shift, ynb, xnb)
+        mean_v = _block_means(v, None, p.ybsep_luma >> v_shift,
+                              p.xbsep_luma >> h_shift, ynb, xnb)
+        if subpel_body is not None:
+            dy, dx = subpel_body(y, up_y, dy, dx)
+        # mode decision: integer form of sad_dc * 1.1 < sad_mc
+        mc = jnp.where(sad_dc * 11 < sad_mc * 10, 1, 0).astype(jnp.int32)
+        zero = jnp.zeros((ynb, xnb), jnp.int32)
+        fields = {
+            "pred_mode": mc,
+            "using_global": zero,
+            "dx1": (dx * mc).astype(jnp.int32),
+            "dy1": (dy * mc).astype(jnp.int32),
+            "dx2": zero,
+            "dy2": zero,
+            "dc0": (jnp.clip(mean_y - 128, -128, 127) * (1 - mc)),
+            "dc1": (jnp.clip(mean_u - 128, -128, 127) * (1 - mc)),
+            "dc2": (jnp.clip(mean_v - 128, -128, 127) * (1 - mc)),
+        }
+        keys = jnp.stack([fields[k] for k in
+                          ("pred_mode", "dx1", "dy1", "dc0", "dc1", "dc2")],
+                         axis=-1)
+        fields["split"] = _derive_splits_dev(keys, ynb, xnb)
+
+        preds = render_body(fields, (up_y, up_u, up_v), None)
+
+        outq = []
+        outr = []
+        rc_flat = []
+        for plane, pred, shapes, sizes, (oh, ow), (wpic, hpic) in zip(
+                (y, u, v), preds, shapes3, sizes3, iwt_dims, pic_sizes):
+            h, w = plane.shape
+            res = plane.astype(jnp.int16) - 128 - pred.astype(jnp.int16)
+            res = jnp.pad(res, ((0, oh - h), (0, ow - w)))
+            pyr = wv.forward(res, depth, wavelet)
+            flat, _ = sl.flatten_pyramid(pyr, depth)
+            rc_flat.append(flat)
+            n = int(sizes.sum())
+            qf = jnp.repeat(QF[qi_bands], sizes, total_repeat_length=n)
+            qo = jnp.repeat(QO[qi_bands], sizes, total_repeat_length=n)
+            qq = q.quantise(flat, qf, qo)
+            outq.append(qq.astype(jnp.int16))
+            dq = q.dequantise(qq, qf, qo).astype(jnp.int16)
+            bands = []
+            pos = 0
+            for (bh, bw) in shapes:
+                bands.append(dq[pos:pos + bh * bw].reshape(bh, bw))
+                pos += bh * bw
+            rres = wv.inverse(sl.arrays_to_pyramid(bands, depth), wavelet)
+            rec = (rres[:hpic, :wpic].astype(jnp.int32)
+                   + pred.astype(jnp.int32) + 128)
+            outr.append(jnp.clip(rec, 0, 255).astype(jnp.uint8))
+
+        # 61-way bit estimate for next frame's CBR decision
+        qmj = jnp.asarray(qm)
+        allflat = jnp.concatenate(rc_flat).astype(jnp.int32)
+        qmo = jnp.concatenate(
+            [jnp.repeat(qmj, sizes, total_repeat_length=int(sizes.sum()))
+             for sizes in sizes3])
+
+        def one(base):
+            from schroedinger_tpu.encoder.ratecontrol import _sint_bits
+            qi = jnp.clip(base - qmo, 0, 60)
+            qqq = q.quantise(allflat, QF[qi], QO[qi])
+            return _sint_bits(qqq).astype(jnp.float32).sum().astype(jnp.int32)
+
+        rc_bits = jax.lax.map(one, jnp.arange(61, dtype=jnp.int32))
+
+        flist = tuple(fields[k] for k in _P_FIELD_ORDER)
+        return flist + tuple(outq) + tuple(outr) + (rc_bits,)
+
+    fns = (jax.jit(step), shapes3)
+    _ME_CACHE[key] = fns
+    return fns
+
+
 def _codeblock_counts(p: Params, index: int):
     position = subband_position(index)
     if index == 0:
@@ -301,14 +557,40 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
     nb = subband_count(depth)
     vf = p.video_format
 
-    mv = estimate_motion(planes_u8, ref1, p, use_phasecorr=use_phasecorr)
-    preds = render_prediction(mv, p, ref1)
-
-    # residuals -> IWT -> quantise + arith encode
-    iwt_dims = [(p.iwt_luma_height, p.iwt_luma_width),
-                (p.iwt_chroma_height, p.iwt_chroma_width),
-                (p.iwt_chroma_height, p.iwt_chroma_width)]
     qm = np.asarray(p.quant_matrix[:nb], np.int32)
+
+    if target_bits is None:
+        # fused single-dispatch path: whole P picture as one XLA program
+        n_extra = N_PHASECORR_CANDS if use_phasecorr else 0
+        stepfn, shapes3 = _get_p_step(p, n_extra=n_extra)
+        qi_bands = np.clip(base_qi - qm, 0, 60).astype(np.int32)
+        ups = ref1.get_upsampled()
+        cur = [jnp.asarray(pl) for pl in planes_u8]
+        args = (cur[0], cur[1], cur[2], jnp.asarray(ref1.planes[0]),
+                ups[0], ups[1], ups[2], jnp.asarray(qi_bands))
+        if use_phasecorr:
+            outs = stepfn(*args, _phasecorr_candidates(p, cur[0], args[3]))
+        else:
+            outs = stepfn(*args)
+        nf = len(_P_FIELD_ORDER)
+        host = jax.device_get(outs[:nf + 3])  # fields + qdata, one fetch
+        mv = {k: np.ascontiguousarray(a)
+              for k, a in zip(_P_FIELD_ORDER, host[:nf])}
+        host_q = host[nf:nf + 3]
+        recon_planes = outs[nf + 3:nf + 6]    # stays on device
+    else:
+        mv = estimate_motion(planes_u8, ref1, p, use_phasecorr=use_phasecorr)
+        preds = render_prediction(mv, p, ref1)
+        tfn, rcfn, qrfn, shapes3 = _get_p_pipeline(p, want_recon=True)
+        flats = tfn(jnp.asarray(planes_u8[0]), jnp.asarray(planes_u8[1]),
+                    jnp.asarray(planes_u8[2]), *preds)
+        bits = np.asarray(rcfn(*flats)).astype(np.float64) * rc_correction
+        fits = np.nonzero(bits <= target_bits)[0]
+        base_qi = int(fits[0]) if len(fits) else 60
+        qi_bands = np.clip(base_qi - qm, 0, 60).astype(np.int32)
+        outs = qrfn(*flats, *preds, jnp.asarray(qi_bands))
+        host_q = jax.device_get(outs[:3])    # one batched transfer
+        recon_planes = outs[3:]              # stays on device
 
     w = BitWriter()
     code = parse_code_picture(is_ref, 1, False, False)
@@ -328,8 +610,7 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
             continue
         w.write_uint(len(bufs[s]))
         w.sync()
-        for byte in bufs[s]:
-            w.write_bits(8, byte)
+        w.write_bytes(bytes(bufs[s]))
     w.sync()
     # transform parameters (zero_residual=0)
     w.write_bit(0)
@@ -348,67 +629,30 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
         w.write_uint(p.codeblock_mode_index)
     w.sync()
 
-    pyramids = []
     for comp in range(3):
-        oh, ow = iwt_dims[comp]
-        res = _residual(jnp.asarray(planes_u8[comp]), preds[comp], oh, ow)
-        pyramids.append(_forward_jit(res, depth, p.wavelet_filter_index))
-
-    est_bits = None
-    if target_bits is not None:
-        from schroedinger_tpu.encoder import ratecontrol as rcmod
-        band_lists = [sl.subband_arrays(pyr, depth) for pyr in pyramids]
-        base_qi = rcmod.pick_base_qi(band_lists, p, target_bits, intra=False,
-                                     correction=rc_correction)
-
-    import jax as _jax
-    flats = []
-    shapes3 = []
-    for comp in range(3):
-        flat, shapes = sl.flatten_pyramid(pyramids[comp], depth)
-        flats.append(flat)
-        shapes3.append(shapes)
-    host_flats = _jax.device_get(flats)  # one batched transfer
-
-    recon_planes = []
-    for comp in range(3):
-        bands = [np.ascontiguousarray(b) for b in
-                 sl.unflatten_host(host_flats[comp], shapes3[comp])]
-        deq_bands = [None] * nb
+        bands = sl.unflatten_host(host_q[comp], shapes3[comp])
         for index in range(nb):
             hcb, vcb = _codeblock_counts(p, index)
             position = subband_position(index)
-            qi = int(np.clip(base_qi - qm[index], 0, 60))
-            qi_arr = np.full((vcb, hcb), qi, np.int32)
-            qdata, deq = sb.quantise_subband(bands[index], qi_arr, position,
-                                             hcb, vcb, is_intra=False)
-            deq_bands[index] = deq
+            qi = int(qi_bands[index])
+            qdata = bands[index]
             w.sync()
             if not np.any(qdata):
                 w.write_uint(0)
                 continue
-            parent_deq = deq_bands[index - 3] if position >= 4 else None
+            # parent context is a zero-test, so quantised data is
+            # equivalent to the dequantised values the spec describes
+            parent_q = bands[index - 3] if position >= 4 else None
             payload, first_qi = sb.encode_subband_arith(
-                qdata, parent_deq, position, hcb, vcb,
-                p.codeblock_mode_index == 1, qi_arr)
+                qdata, parent_q, position, hcb, vcb,
+                p.codeblock_mode_index == 1,
+                np.full((vcb, hcb), qi, np.int32))
             w.write_uint(len(payload))
             if first_qi == -1:
                 first_qi = qi
             w.write_uint(first_qi)
             w.sync()
-            for byte in payload:
-                w.write_bits(8, byte)
-
-        # reconstruction: IIWT of dequantised bands + pred, clamped
-        rpyr = sl.arrays_to_pyramid(
-            [jnp.asarray(np.asarray(b, dtype=np.int16)) for b in deq_bands],
-            depth)
-        rres = _inverse_jit(rpyr, p.wavelet_filter_index)
-        pic_sizes = [vf.picture_luma_size(), vf.picture_chroma_size(),
-                     vf.picture_chroma_size()]
-        (w_pic, h_pic) = pic_sizes[comp]
-        recon_planes.append(np.asarray(
-            _combine(rres, preds[comp], (h_pic, w_pic))))
+            w.write_bytes(bytes(payload))
     w.sync()
     return w.get_bytes(), tuple(recon_planes), base_qi
 
@@ -538,8 +782,7 @@ def encode_b_picture(planes_u8, p: Params, frame_number: int,
             continue
         w.write_uint(len(bufs[s]))
         w.sync()
-        for byte in bufs[s]:
-            w.write_bits(8, byte)
+        w.write_bytes(bytes(bufs[s]))
     w.sync()
     w.write_bit(0)  # zero residual
     w.write_uint(int(p.wavelet_filter_index))
@@ -557,44 +800,37 @@ def encode_b_picture(planes_u8, p: Params, frame_number: int,
         w.write_uint(p.codeblock_mode_index)
     w.sync()
 
-    pyramids = []
-    for comp in range(3):
-        oh, ow = iwt_dims[comp]
-        res = _residual(jnp.asarray(planes_u8[comp]), preds[comp], oh, ow)
-        pyramids.append(_forward_jit(res, depth, p.wavelet_filter_index))
-
+    tfn, rcfn, qrfn, shapes3 = _get_p_pipeline(p, want_recon=False)
+    flats = tfn(jnp.asarray(planes_u8[0]), jnp.asarray(planes_u8[1]),
+                jnp.asarray(planes_u8[2]), *preds)
     if target_bits is not None:
-        from schroedinger_tpu.encoder import ratecontrol as rcmod
-        band_lists = [sl.subband_arrays(pyr, depth) for pyr in pyramids]
-        base_qi = rcmod.pick_base_qi(band_lists, p, target_bits, intra=False,
-                                     correction=rc_correction)
+        bits = np.asarray(rcfn(*flats)).astype(np.float64) * rc_correction
+        fits = np.nonzero(bits <= target_bits)[0]
+        base_qi = int(fits[0]) if len(fits) else 60
+    qi_bands = np.clip(base_qi - qm, 0, 60).astype(np.int32)
+    host_q = jax.device_get(qrfn(*flats, *preds, jnp.asarray(qi_bands)))
 
     for comp in range(3):
-        bands = [np.asarray(b) for b in sl.subband_arrays(pyramids[comp],
-                                                          depth)]
-        deq_bands = [None] * nb
+        bands = sl.unflatten_host(host_q[comp], shapes3[comp])
         for index in range(nb):
             hcb, vcb = _codeblock_counts(p, index)
             position = subband_position(index)
-            qi = int(np.clip(base_qi - qm[index], 0, 60))
-            qi_arr = np.full((vcb, hcb), qi, np.int32)
-            qdata, deq = sb.quantise_subband(bands[index], qi_arr, position,
-                                             hcb, vcb, is_intra=False)
-            deq_bands[index] = deq
+            qi = int(qi_bands[index])
+            qdata = bands[index]
             w.sync()
             if not np.any(qdata):
                 w.write_uint(0)
                 continue
-            parent_deq = deq_bands[index - 3] if position >= 4 else None
+            parent_q = bands[index - 3] if position >= 4 else None
             payload, first_qi = sb.encode_subband_arith(
-                qdata, parent_deq, position, hcb, vcb,
-                p.codeblock_mode_index == 1, qi_arr)
+                qdata, parent_q, position, hcb, vcb,
+                p.codeblock_mode_index == 1,
+                np.full((vcb, hcb), qi, np.int32))
             w.write_uint(len(payload))
             if first_qi == -1:
                 first_qi = qi
             w.write_uint(first_qi)
             w.sync()
-            for byte in payload:
-                w.write_bits(8, byte)
+            w.write_bytes(bytes(payload))
     w.sync()
     return w.get_bytes()

@@ -112,8 +112,7 @@ def encode_picture(planes_u8, p: Params, frame_number: int,
             if len(payload) > 0:
                 w.write_uint(first_qi)
                 w.sync()
-                for byte in payload:
-                    w.write_bits(8, byte)
+                w.write_bytes(bytes(payload))
         if return_recon:
             from schroedinger_tpu.coding import slices as _sl
             from schroedinger_tpu.decoder.lowdelay import _inverse_jit, _to_u8

@@ -58,7 +58,17 @@ def _grid_cands(radius, step=1):
 
 def make_me_fn(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                levels=3, coarse_radius=8, refine_radius=2, n_extra=0):
-    """Build a jitted ME: (cur_y u8, ref_y u8) -> (dy, dx) per block (pel).
+    """Jitted wrapper of make_me_body (see there)."""
+    import jax as _jax
+    return _jax.jit(make_me_body(H, W, xbsep, ybsep, x_num_blocks,
+                                 y_num_blocks, levels, coarse_radius,
+                                 refine_radius, n_extra))
+
+
+def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
+                 levels=3, coarse_radius=8, refine_radius=2, n_extra=0):
+    """Build the raw (traceable) ME: (cur_y u8, ref_y u8) -> (dy, dx)
+    per block (pel); compose inside larger jitted programs.
 
     With n_extra > 0 the function takes a third argument, an (n_extra, 2)
     int32 array of (dy, dx) full-pel candidates (e.g. phase-correlation
@@ -182,12 +192,19 @@ def make_me_fn(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
         diff = jnp.abs(c.astype(jnp.int32) - sampled.astype(jnp.int32))
         return diff.reshape(nby, bs_y, nbx, bs_x).sum(axis=(1, 3))
 
-    return jax.jit(me)
+    return me
 
 
 def make_subpel_refine(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                        mv_precision):
-    """Jitted sub-pel refinement: full-pel MVs -> 1/2^prec-pel MVs.
+    import jax as _jax
+    return _jax.jit(make_subpel_body(H, W, xbsep, ybsep, x_num_blocks,
+                                     y_num_blocks, mv_precision))
+
+
+def make_subpel_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
+                     mv_precision):
+    """Raw sub-pel refinement body: full-pel MVs -> 1/2^prec-pel MVs.
 
     Successively scales to each precision level and scans the 3x3 sub-pel
     neighborhood, sampling the interleaved half-pel reference with the same
@@ -228,4 +245,4 @@ def make_subpel_refine(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
             mv_x = mv_x + cands[best][..., 1]
         return mv_y, mv_x
 
-    return jax.jit(refine)
+    return refine

@@ -45,7 +45,7 @@ def bits_per_base(flat_coeffs, qmo, intra_flag):
         x = jnp.abs(v) << 2
         offset = qo - qf // 2
         mag = jnp.where(x < qo, 0, (x - offset) // qf)
-        return _sint_bits(mag).astype(jnp.int64).sum()
+        return _sint_bits(mag).astype(jnp.float32).sum().astype(jnp.int32)
 
     return jax.lax.map(one, jnp.arange(61, dtype=jnp.int32))
 

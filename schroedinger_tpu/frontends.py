@@ -1,0 +1,197 @@
+"""Packed-format frame frontends: YUY2/UYVY/AYUV/v210/v216/AY64 <-> planar.
+
+Vectorized numpy analogs of the reference's virtual-frame pack/unpack lines
+(schrovirtframe.c:617-940 unpack_*, :944-1297 pack_*).  These are host I/O
+adapters: capture/playout hardware hands the encoder packed 4:2:2/4:4:4
+buffers, and the planar planes these produce feed the TPU pipelines
+directly.  8-bit formats produce u8 planes; v210/v216/AY64 produce u16
+planes (10/16-bit samples) plus helpers to round to u8.
+
+Layouts (all little-endian, per pixel pair unless noted):
+  YUY2/YUYV: Y0 U  Y1 V          (4:2:2, u8)
+  UYVY:      U  Y0 V  Y1         (4:2:2, u8)
+  AYUV:      A  Y  U  V          (4:4:4, u8, per pixel)
+  v216:      U  Y0 V  Y1 as 16-bit samples (4:2:2)
+  v210:      10-bit samples, 3 per 32-bit word, 16 bytes per 6 pixels
+             word0 = Cr0<<20 | Y0<<10 | Cb0,  word1 = Y2<<20 | Cb1<<10 | Y1,
+             word2 = Cb2<<20 | Y3<<10 | Cr1,  word3 = Y5<<20 | Cr2<<10 | Y4
+             (schrovirtframe.c:765-867)
+  AY64:      A Y U V as 16-bit samples per pixel (4:4:4)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def unpack_yuy2(data, width: int, height: int):
+    """YUYV bytes -> (y, u, v) u8 planes, 4:2:2 (schrovirtframe.c:617-637)."""
+    a = np.frombuffer(data, np.uint8).reshape(height, width * 2)
+    return a[:, 0::2].copy(), a[:, 1::4].copy(), a[:, 3::4].copy()
+
+
+def pack_yuy2(y, u, v) -> bytes:
+    h, w = y.shape
+    out = np.empty((h, w * 2), np.uint8)
+    out[:, 0::2] = y
+    out[:, 1::4] = u
+    out[:, 3::4] = v
+    return out.tobytes()
+
+
+def unpack_uyvy(data, width: int, height: int):
+    """UYVY bytes -> (y, u, v) u8 planes, 4:2:2 (schrovirtframe.c:640-660)."""
+    a = np.frombuffer(data, np.uint8).reshape(height, width * 2)
+    return a[:, 1::2].copy(), a[:, 0::4].copy(), a[:, 2::4].copy()
+
+
+def pack_uyvy(y, u, v) -> bytes:
+    h, w = y.shape
+    out = np.empty((h, w * 2), np.uint8)
+    out[:, 1::2] = y
+    out[:, 0::4] = u
+    out[:, 2::4] = v
+    return out.tobytes()
+
+
+def unpack_ayuv(data, width: int, height: int):
+    """AYUV bytes -> (y, u, v) u8 4:4:4 planes; alpha dropped
+    (schrovirtframe.c:663-690)."""
+    a = np.frombuffer(data, np.uint8).reshape(height, width, 4)
+    return a[..., 1].copy(), a[..., 2].copy(), a[..., 3].copy()
+
+
+def pack_ayuv(y, u, v, alpha: int = 255) -> bytes:
+    h, w = y.shape
+    out = np.empty((h, w, 4), np.uint8)
+    out[..., 0] = alpha
+    out[..., 1] = y
+    out[..., 2] = u
+    out[..., 3] = v
+    return out.tobytes()
+
+
+def unpack_v216(data, width: int, height: int):
+    """v216 bytes -> (y, u, v) u16 planes, 4:2:2 (schrovirtframe.c:866-893)."""
+    a = np.frombuffer(data, "<u2").reshape(height, width * 2)
+    return a[:, 1::2].copy(), a[:, 0::4].copy(), a[:, 2::4].copy()
+
+
+def pack_v216(y, u, v) -> bytes:
+    h, w = y.shape
+    out = np.empty((h, w * 2), "<u2")
+    out[:, 1::2] = y
+    out[:, 0::4] = u
+    out[:, 2::4] = v
+    return out.tobytes()
+
+
+def v210_row_bytes(width: int) -> int:
+    """v210 rows are padded to 48-pixel (128-byte) groups."""
+    return ((width + 47) // 48) * 128
+
+
+def unpack_v210(data, width: int, height: int):
+    """v210 bytes -> (y, u, v) u16 planes (10-bit values), 4:2:2.
+
+    Word layout per 6-pixel group per schrovirtframe.c:765-867."""
+    rb = v210_row_bytes(width)
+    words = np.frombuffer(data, "<u4").reshape(height, rb // 4)
+    g = words.reshape(height, -1, 4)     # 6-pixel groups
+    s0 = (g & 0x3FF).astype(np.uint16)
+    s1 = ((g >> 10) & 0x3FF).astype(np.uint16)
+    s2 = ((g >> 20) & 0x3FF).astype(np.uint16)
+    ng = g.shape[1]
+    ys = np.empty((height, ng, 6), np.uint16)
+    ys[..., 0] = s1[..., 0]
+    ys[..., 1] = s0[..., 1]
+    ys[..., 2] = s2[..., 1]
+    ys[..., 3] = s1[..., 2]
+    ys[..., 4] = s0[..., 3]
+    ys[..., 5] = s2[..., 3]
+    us = np.stack([s0[..., 0], s1[..., 1], s2[..., 2]], axis=-1)
+    vs = np.stack([s2[..., 0], s0[..., 2], s1[..., 3]], axis=-1)
+    y = ys.reshape(height, ng * 6)[:, :width]
+    u = us.reshape(height, ng * 3)[:, :width // 2]
+    v = vs.reshape(height, ng * 3)[:, :width // 2]
+    return y.copy(), u.copy(), v.copy()
+
+
+def pack_v210(y, u, v) -> bytes:
+    """(y, u, v) u16 10-bit planes -> v210 bytes (rows padded to 128B)."""
+    h, w = y.shape
+    ng = ((w + 47) // 48) * 8            # 6-pixel groups per row
+    ys = np.zeros((h, ng * 6), np.uint32)
+    us = np.zeros((h, ng * 3), np.uint32)
+    vs = np.zeros((h, ng * 3), np.uint32)
+    ys[:, :w] = y
+    us[:, :w // 2] = u
+    vs[:, :w // 2] = v
+    ys = ys.reshape(h, ng, 6)
+    us = us.reshape(h, ng, 3)
+    vs = vs.reshape(h, ng, 3)
+    g = np.zeros((h, ng, 4), np.uint32)
+    g[..., 0] = us[..., 0] | (ys[..., 0] << 10) | (vs[..., 0] << 20)
+    g[..., 1] = ys[..., 1] | (us[..., 1] << 10) | (ys[..., 2] << 20)
+    g[..., 2] = vs[..., 1] | (ys[..., 3] << 10) | (us[..., 2] << 20)
+    g[..., 3] = ys[..., 4] | (vs[..., 2] << 10) | (ys[..., 5] << 20)
+    return g.astype("<u4").tobytes()
+
+
+def unpack_ay64(data, width: int, height: int):
+    """AY64 bytes -> (y, u, v) u16 4:4:4 planes (schrovirtframe.c:735-762)."""
+    a = np.frombuffer(data, "<u2").reshape(height, width, 4)
+    return a[..., 1].copy(), a[..., 2].copy(), a[..., 3].copy()
+
+
+def pack_ay64(y, u, v, alpha: int = 0xFFFF) -> bytes:
+    h, w = y.shape
+    out = np.empty((h, w, 4), "<u2")
+    out[..., 0] = alpha
+    out[..., 1] = y
+    out[..., 2] = u
+    out[..., 3] = v
+    return out.tobytes()
+
+
+def chroma_422_to_420(u):
+    """Vertical 2x chroma decimation (averaging) for 4:2:2 -> 4:2:0 input."""
+    u = np.asarray(u)
+    h2 = u.shape[0] // 2 * 2
+    return ((u[:h2:2].astype(np.uint32) + u[1:h2:2] + 1) >> 1).astype(u.dtype)
+
+
+def chroma_420_to_422(u):
+    """Vertical 2x chroma replication for 4:2:0 -> 4:2:2 output."""
+    return np.repeat(np.asarray(u), 2, axis=0)
+
+
+def deep_to_u8(plane, bits: int = 10):
+    """Round a >8-bit plane to u8 (full-scale mapping, inverse of
+    u8_to_deep's bit replication)."""
+    hi = (1 << bits) - 1
+    p = np.asarray(plane).astype(np.uint64)
+    return ((p * 255 + hi // 2) // hi).clip(0, 255).astype(np.uint8)
+
+
+def u8_to_deep(plane, bits: int = 10):
+    """Scale a u8 plane up to a deeper bit depth (replicating top bits)."""
+    p = np.asarray(plane).astype(np.uint16)
+    return ((p << (bits - 8)) | (p >> (16 - bits))).astype(np.uint16)
+
+
+_UNPACK = {"YUY2": unpack_yuy2, "YUYV": unpack_yuy2, "UYVY": unpack_uyvy,
+           "AYUV": unpack_ayuv, "v210": unpack_v210, "v216": unpack_v216,
+           "AY64": unpack_ay64}
+_PACK = {"YUY2": pack_yuy2, "YUYV": pack_yuy2, "UYVY": pack_uyvy,
+         "AYUV": pack_ayuv, "v210": pack_v210, "v216": pack_v216,
+         "AY64": pack_ay64}
+
+
+def unpack_frame(data, fourcc: str, width: int, height: int):
+    """Packed buffer -> (y, u, v) planes (dtype per format)."""
+    return _UNPACK[fourcc](data, width, height)
+
+
+def pack_frame(planes, fourcc: str) -> bytes:
+    """(y, u, v) planes -> packed buffer."""
+    return _PACK[fourcc](*planes)

@@ -356,6 +356,21 @@ def make_render_fn(p, num_refs: int):
     all device arrays; upsampled planes stay on device.
     """
     import jax as _jax
+    body = make_render_body(p, num_refs)
+    key = ("jit", id(body))
+    fn = _RENDER_CACHE.get(key)
+    if fn is None:
+        if num_refs > 1:
+            fn = _jax.jit(body)
+        else:
+            fn = _jax.jit(lambda mv, up1: body(mv, up1, None))
+        _RENDER_CACHE[key] = fn
+    return fn
+
+
+def make_render_body(p, num_refs: int):
+    """Raw (traceable) whole-picture render body: (mv, up1, up2) -> preds.
+    Cached per geometry; compose inside larger jitted programs."""
     vf = p.video_format
     gmk = tuple()
     if p.have_global_motion:
@@ -407,9 +422,5 @@ def make_render_fn(p, num_refs: int):
                 gm1=gm1, gm2=gm2))
         return tuple(preds)
 
-    if num_refs > 1:
-        fn = _jax.jit(render)
-    else:
-        fn = _jax.jit(lambda mv, up1: render(mv, up1, None))
-    _RENDER_CACHE[key] = fn
-    return fn
+    _RENDER_CACHE[key] = render
+    return render
