@@ -125,6 +125,20 @@ class Encoder:
         fps = self.vf.frame_rate_numerator / self.vf.frame_rate_denominator
         lossless = self.cfg.rate_control == "lossless"
         qi = 0 if lossless else _quality_to_qi(float(self.cfg.get("quality")))
+        qengine = None
+        if self.cfg.rate_control == "constant_lambda":
+            # frame_lambda from quality, schroencoder.c:65
+            import math
+            from schroedinger_tpu.encoder.ratecontrol import QuantiserEngine
+            lam = math.exp(0.921034 * float(self.cfg.get("quality")) - 13.825)
+            qengine = QuantiserEngine("constant_lambda", lam=lam)
+        elif self.cfg.rate_control in ("constant_error",
+                                       "constant_noise_threshold"):
+            from schroedinger_tpu.encoder.ratecontrol import QuantiserEngine
+            qengine = QuantiserEngine(
+                self.cfg.rate_control,
+                noise_threshold=float(self.cfg.get("noise_threshold")),
+                width=self.vf.width, height=self.vf.height)
         intra_w = Wavelet(self.cfg.intra_wavelet)
         inter_w = Wavelet(self.cfg.inter_wavelet)
         if lossless:
@@ -146,7 +160,8 @@ class Encoder:
                                                       "chained_biref")
                       else 0),
             enable_phasecorr=bool(
-                self.cfg.get("enable_phasecorr_estimation")))
+                self.cfg.get("enable_phasecorr_estimation")),
+            quantiser_engine=qengine)
 
     # ---- push/pull ------------------------------------------------------
 

@@ -37,6 +37,7 @@ class GopEncoder:
                  scene_change_threshold: float = 3.0,
                  b_frames: int = 0,
                  enable_phasecorr: bool = False,
+                 quantiser_engine=None,
                  stats=None):
         self.vf = video_format
         self.intra_wavelet = intra_wavelet
@@ -64,6 +65,7 @@ class GopEncoder:
         self.stats = stats
         self.b_frames = b_frames
         self.enable_phasecorr = enable_phasecorr
+        self.qengine = quantiser_engine
         self._bbuf = []  # buffered (num, planes) awaiting the next reference
         self.rc = None
         if bitrate:
@@ -200,12 +202,16 @@ class GopEncoder:
         else:
             p = self._params(1)
             target = self.rc.frame_target(False) if self.rc else None
-            unit, recon, used_qi = ei_inter.encode_inter_picture(
+            qi_over = self.qengine.pick() if self.qengine else None
+            unit, recon, used_qi, stats = ei_inter.encode_inter_picture(
                 planes, p, num, self.last_ref, self.ref_frames[self.last_ref],
                 base_qi=self.base_qi_inter, is_ref=True,
                 retired=self.prev_ref, target_bits=target,
                 rc_correction=self.rc.correction if self.rc else 1.0,
-                use_phasecorr=self.enable_phasecorr)
+                use_phasecorr=self.enable_phasecorr,
+                qi_bands_override=qi_over)
+            if self.qengine:
+                self.qengine.update(stats)
             if self.rc:
                 self.rc.update(len(unit) * 8)
         if self.enable_md5:

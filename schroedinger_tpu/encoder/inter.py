@@ -463,23 +463,33 @@ def _get_p_step(p: Params, n_extra: int = 0):
                    + pred.astype(jnp.int32) + 128)
             outr.append(jnp.clip(rec, 0, 255).astype(jnp.uint8))
 
-        # 61-way bit estimate for next frame's CBR decision
+        # 61-way per-subband (bits, sq-error) estimates: feed the CBR and
+        # constant-lambda/-error quantiser engines (exact-stat analog of
+        # schroquantiser.c's histogram estimate tables, :419-520)
         qmj = jnp.asarray(qm)
         allflat = jnp.concatenate(rc_flat).astype(jnp.int32)
         qmo = jnp.concatenate(
             [jnp.repeat(qmj, sizes, total_repeat_length=int(sizes.sum()))
+             for sizes in sizes3])
+        seg = jnp.concatenate(
+            [jnp.repeat(jnp.arange(nb, dtype=jnp.int32), sizes,
+                        total_repeat_length=int(sizes.sum()))
              for sizes in sizes3])
 
         def one(base):
             from schroedinger_tpu.encoder.ratecontrol import _sint_bits
             qi = jnp.clip(base - qmo, 0, 60)
             qqq = q.quantise(allflat, QF[qi], QO[qi])
-            return _sint_bits(qqq).astype(jnp.float32).sum().astype(jnp.int32)
+            dqq = q.dequantise(qqq, QF[qi], QO[qi])
+            b = _sint_bits(qqq).astype(jnp.float32)
+            e = jnp.square((allflat - dqq).astype(jnp.float32))
+            return (jax.ops.segment_sum(b, seg, num_segments=nb),
+                    jax.ops.segment_sum(e, seg, num_segments=nb))
 
-        rc_bits = jax.lax.map(one, jnp.arange(61, dtype=jnp.int32))
+        rc_bits, rc_err = jax.lax.map(one, jnp.arange(61, dtype=jnp.int32))
 
         flist = tuple(fields[k] for k in _P_FIELD_ORDER)
-        return flist + tuple(outq) + tuple(outr) + (rc_bits,)
+        return flist + tuple(outq) + tuple(outr) + (rc_bits, rc_err)
 
     fns = (jax.jit(step), shapes3)
     _ME_CACHE[key] = fns
@@ -549,9 +559,14 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
                          retired: Optional[int] = None,
                          target_bits: Optional[int] = None,
                          rc_correction: float = 1.0,
-                         use_phasecorr: bool = False):
+                         use_phasecorr: bool = False,
+                         qi_bands_override=None):
     """Encode one P picture. Returns (parse_unit_bytes, recon_planes,
-    estimated_bits)."""
+    used_base_qi, stats) where stats is (bits61, err61) per-subband
+    estimate tables from the fused path (None on the CBR path), consumed
+    by the constant-lambda / constant-error quantiser engines next frame.
+    qi_bands_override: explicit per-subband quant indices (nb,) chosen by
+    a quantiser engine; overrides base_qi - quant_matrix."""
     assert _native is not None
     depth = p.transform_depth
     nb = subband_count(depth)
@@ -563,7 +578,10 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
         # fused single-dispatch path: whole P picture as one XLA program
         n_extra = N_PHASECORR_CANDS if use_phasecorr else 0
         stepfn, shapes3 = _get_p_step(p, n_extra=n_extra)
-        qi_bands = np.clip(base_qi - qm, 0, 60).astype(np.int32)
+        if qi_bands_override is not None:
+            qi_bands = np.asarray(qi_bands_override, np.int32)
+        else:
+            qi_bands = np.clip(base_qi - qm, 0, 60).astype(np.int32)
         ups = ref1.get_upsampled()
         cur = [jnp.asarray(pl) for pl in planes_u8]
         args = (cur[0], cur[1], cur[2], jnp.asarray(ref1.planes[0]),
@@ -573,12 +591,14 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
         else:
             outs = stepfn(*args)
         nf = len(_P_FIELD_ORDER)
-        host = jax.device_get(outs[:nf + 3])  # fields + qdata, one fetch
+        host = jax.device_get(outs[:nf + 3] + outs[nf + 6:nf + 8])
         mv = {k: np.ascontiguousarray(a)
               for k, a in zip(_P_FIELD_ORDER, host[:nf])}
         host_q = host[nf:nf + 3]
+        stats = (host[nf + 3], host[nf + 4])  # (61, nb) bits / sq-err
         recon_planes = outs[nf + 3:nf + 6]    # stays on device
     else:
+        stats = None
         mv = estimate_motion(planes_u8, ref1, p, use_phasecorr=use_phasecorr)
         preds = render_prediction(mv, p, ref1)
         tfn, rcfn, qrfn, shapes3 = _get_p_pipeline(p, want_recon=True)
@@ -654,7 +674,7 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
             w.sync()
             w.write_bytes(bytes(payload))
     w.sync()
-    return w.get_bytes(), tuple(recon_planes), base_qi
+    return w.get_bytes(), tuple(recon_planes), base_qi, stats
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6, 7))

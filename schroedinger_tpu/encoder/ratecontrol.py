@@ -108,3 +108,80 @@ class CbrController:
         if estimated_bits and estimated_bits > 200:
             ratio = actual_bits / estimated_bits
             self.correction = 0.9 * self.correction + 0.1 * ratio
+
+
+# ---- per-subband quantiser engines (schroquantiser.c:280-316 dispatch) ----
+
+def qi_from_lambda(bits61, err61, lam: float) -> np.ndarray:
+    """Per-subband quant indices minimising R + lambda*D (the reference's
+    lambda weights distortion: larger lambda -> finer quantisation,
+    schroquantiser.c entropy/error tradeoff).
+
+    bits61/err61: (61, nb) per-base coded-bit / squared-error estimates
+    (exact-stat analog of the reference's histogram estimate tables,
+    schro_encoder_calc_estimates).  Returns (nb,) int32.
+    """
+    cost = np.asarray(bits61, np.float64) + lam * np.asarray(err61, np.float64)
+    return np.argmin(cost, axis=0).astype(np.int32)
+
+
+def lambda_for_error(bits61, err61, target_error: float,
+                     iters: int = 24) -> float:
+    """Bisect lambda so total squared error at the RDO choice hits the
+    target (schro_encoder_error_to_lambda, schroquantiser.c:1040-1106)."""
+    lo, hi = 1e-10, 1e6   # err_at is non-increasing in lambda
+
+    def err_at(lam):
+        qi = qi_from_lambda(bits61, err61, lam)
+        return float(np.asarray(err61, np.float64)[qi, np.arange(len(qi))]
+                     .sum())
+
+    if err_at(lo) <= target_error:
+        return lo             # cheapest choice already clean enough
+    if err_at(hi) >= target_error:
+        return hi             # can't reach the target; use finest tradeoff
+    for _ in range(iters):
+        mid = np.sqrt(lo * hi)
+        if err_at(mid) > target_error:
+            lo = mid
+        else:
+            hi = mid
+    return float(np.sqrt(lo * hi))
+
+
+class QuantiserEngine:
+    """Per-frame per-subband quant-index chooser from exact stat tables.
+
+    Modes (schroencoder.c:726-760 rate-control dispatch):
+      constant_lambda: fixed lambda RDO (ENGINE_RDO_LAMBDA)
+      constant_error / constant_noise_threshold: lambda bisected each frame
+        so the frame error matches the noise target
+        (ENGINE_CONSTANT_ERROR, schroquantiser.c:1099-1129)
+
+    Stats arrive with one frame of lag (the fused P-step emits them with
+    the frame it encodes); pick() returns None until the first P frame's
+    stats exist, letting the caller fall back to base_qi - quant_matrix.
+    """
+
+    def __init__(self, mode: str, lam: float = 1.0,
+                 noise_threshold: float = 25.0, width: int = 0,
+                 height: int = 0):
+        self.mode = mode
+        self.lam = lam
+        noise_amp = 255.0 * (0.1 ** (noise_threshold * 0.05))
+        self.target_error = (noise_amp ** 2) * max(width * height, 1)
+        self._stats = None
+
+    def update(self, stats) -> None:
+        if stats is not None:
+            self._stats = stats
+
+    def pick(self):
+        if self._stats is None:
+            return None
+        bits61, err61 = self._stats
+        if self.mode == "constant_lambda":
+            lam = self.lam
+        else:
+            lam = lambda_for_error(bits61, err61, self.target_error)
+        return qi_from_lambda(bits61, err61, lam)
