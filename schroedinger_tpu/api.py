@@ -206,6 +206,10 @@ class Encoder:
     def encode_stream(self, frames) -> bytes:
         if self.profile == "vc2_low_delay":
             return self._encode_stream_lowdelay(frames)
+        if self._gop is not None:
+            out = self._gop.encode_stream(frames)   # includes flush + EOS
+            self.frame_number = self._gop.frame_number
+            return out
         out = bytearray()
         for f in frames:
             self.push_frame(f)
@@ -295,4 +299,12 @@ class Decoder:
         return self._core.md5_failures
 
     def decode_stream(self, stream: bytes):
-        return self._core.decode_stream(stream)
+        frames = self._core.decode_stream(stream)
+        vf = self._core.vf
+        if vf is not None and vf.interlaced_coding:
+            # picture pairs are fields: weave back to frames
+            from schroedinger_tpu import frontends as ff
+            return [ff.weave_fields(frames[i], frames[i + 1],
+                                    tff=vf.top_field_first)
+                    for i in range(0, len(frames) - 1, 2)]
+        return frames

@@ -147,7 +147,12 @@ def write_sequence_header(vf: VideoFormat, profile: int, level: int,
     w.write_uint(level)
 
     std = std_video_format(vf.index)
-    w.write_uint(vf.index)
+    if vf.interlaced and std.top_field_first != vf.top_field_first:
+        # top_field_first is only expressible through the base index
+        # (schrovideoformat.c:295-299): re-pick one that matches
+        from schroedinger_tpu.video_format import guess_std_index
+        std = std_video_format(guess_std_index(vf))
+    w.write_uint(std.index)
 
     if std.width == vf.width and std.height == vf.height:
         w.write_bit(0)

@@ -64,6 +64,7 @@ class GopEncoder:
             stats = FrameStats()
         self.stats = stats
         self.b_frames = b_frames
+        self.field_factor = 2 if video_format.interlaced_coding else 1
         self.enable_phasecorr = enable_phasecorr
         self.qengine = quantiser_engine
         self._bbuf = []  # buffered (num, planes) awaiting the next reference
@@ -108,9 +109,20 @@ class GopEncoder:
 
     def encode_frame(self, planes) -> bytes:
         """Display-order input; emits coded-order units (refs before the
-        B pictures that reference them). May return b'' while buffering."""
+        B pictures that reference them). May return b'' while buffering.
+
+        Interlaced coding: the frame splits into two field pictures
+        (schro_encoder_push_frame_full, schroencoder.c:1072-1110) coded
+        back to back; the second field predicts from the first."""
+        if self.field_factor == 2:
+            from schroedinger_tpu import frontends as ff
+            f1, f2 = ff.split_fields(planes, tff=self.vf.top_field_first)
+            return self._encode_one(f1) + self._encode_one(f2)
+        return self._encode_one(planes)
+
+    def _encode_one(self, planes) -> bytes:
         num = self.frame_number
-        is_intra = (num % self.gop_length) == 0
+        is_intra = ((num // self.field_factor) % self.gop_length) == 0
         sc_score = 0.0
         if self.enable_scene_change:
             sc_score = self._scene_change_score(planes)
@@ -140,6 +152,87 @@ class GopEncoder:
             out += self._encode_ref(bplanes, bnum, False, 0.0)
         self._bbuf = []
         return bytes(out)
+
+    def encode_stream(self, frames) -> bytes:
+        """Encode a sequence with device/host pipelining: the fused P-step
+        of frame N+1 is dispatched (XLA queues it asynchronously) before the
+        host entropy coding of frame N runs, so TPU compute and C++ arith
+        coding overlap.  Falls back to the serial path when CBR or B-frames
+        need same-frame feedback."""
+        from schroedinger_tpu.encoder import inter as ei_inter
+        if self.field_factor == 2:
+            from schroedinger_tpu import frontends as ff
+            frames = [fld for fr in frames
+                      for fld in ff.split_fields(fr, self.vf.top_field_first)]
+        out = bytearray()
+        if self.rc is not None or self.b_frames:
+            for f in frames:
+                out += self._encode_one(f)
+            out += self.flush()
+            out += self._chain.add([bs.make_eos_unit()], final_eos=True)
+            return bytes(out)
+
+        pend = None  # (pending dict, (num, ref_num, retired, sc_score))
+        for planes in frames:
+            num = self.frame_number
+            is_intra = ((num // self.field_factor) % self.gop_length) == 0
+            sc = (self._scene_change_score(planes)
+                  if self.enable_scene_change else 0.0)
+            if (not is_intra and sc > self.scene_change_threshold
+                    and self.last_ref is not None):
+                is_intra = True
+            if is_intra or self.last_ref is None:
+                if pend is not None:
+                    out += self._finish_pending(pend)
+                    pend = None
+                out += self._encode_ref(planes, num, True, sc)
+                continue
+
+            p = self._params(1)
+            qi_over = self.qengine.pick() if self.qengine else None
+            meta = (num, self.last_ref, self.prev_ref, sc)
+            pending = ei_inter.start_inter_picture(
+                planes, p, self.ref_frames[self.last_ref],
+                base_qi=self.base_qi_inter,
+                use_phasecorr=self.enable_phasecorr,
+                qi_bands_override=qi_over,
+                want_stats=self.qengine is not None)
+            if pend is not None:
+                out += self._finish_pending(pend)
+            # the new recon/upsample device handles become the reference
+            # immediately; XLA serialises the dependency on device
+            if self.prev_ref is not None:
+                self.ref_frames.pop(self.prev_ref, None)
+            self.ref_frames[num] = RefFrame(tuple(pending["recon"]),
+                                            upsampled=pending["up"])
+            self.prev_ref = self.last_ref
+            self.last_ref = num
+            self.frame_number += 1
+            pend = (pending, meta)
+        if pend is not None:
+            out += self._finish_pending(pend)
+        out += self._chain.add([bs.make_eos_unit()], final_eos=True)
+        return bytes(out)
+
+    def _finish_pending(self, pend) -> bytes:
+        from schroedinger_tpu.encoder import inter as ei_inter
+        pending, (num, ref_num, retired, sc) = pend
+        unit, stats = ei_inter.finish_inter_picture(pending, num, ref_num,
+                                                    is_ref=True,
+                                                    retired=retired)
+        if self.qengine:
+            self.qengine.update(stats)
+        units = []
+        if self.enable_md5:
+            from schroedinger_tpu.coding import native as _native
+            units.append(bs.make_aux_unit(
+                bs.AUX_MD5_CHECKSUM,
+                _native.frame_md5(tuple(np.asarray(pl)
+                                        for pl in pending["recon"]))))
+        units.append(unit)
+        self.stats.record(frame=num, intra=False, bits=len(unit) * 8,
+                          sc_score=round(sc, 3), buffer_level=None)
+        return self._chain.add(units)
 
     def _encode_b(self, planes, num, ref1_num, ref2_num) -> bytes:
         from schroedinger_tpu.encoder.inter import encode_b_picture
@@ -197,19 +290,21 @@ class GopEncoder:
                                                   is_ref=True,
                                                   retired=self.prev_ref,
                                                   return_recon=True)
+            up = None
             if self.rc:
                 self.rc.update(len(unit) * 8)
         else:
             p = self._params(1)
             target = self.rc.frame_target(False) if self.rc else None
             qi_over = self.qengine.pick() if self.qengine else None
-            unit, recon, used_qi, stats = ei_inter.encode_inter_picture(
+            unit, recon, used_qi, stats, up = ei_inter.encode_inter_picture(
                 planes, p, num, self.last_ref, self.ref_frames[self.last_ref],
                 base_qi=self.base_qi_inter, is_ref=True,
                 retired=self.prev_ref, target_bits=target,
                 rc_correction=self.rc.correction if self.rc else 1.0,
                 use_phasecorr=self.enable_phasecorr,
-                qi_bands_override=qi_over)
+                qi_bands_override=qi_over,
+                want_stats=self.qengine is not None)
             if self.qengine:
                 self.qengine.update(stats)
             if self.rc:
@@ -223,7 +318,7 @@ class GopEncoder:
 
         if self.prev_ref is not None:
             self.ref_frames.pop(self.prev_ref, None)
-        self.ref_frames[num] = RefFrame(recon)
+        self.ref_frames[num] = RefFrame(recon, upsampled=up)
         self.prev_ref = self.last_ref
         self.last_ref = num
         if num == self.frame_number:
@@ -234,10 +329,3 @@ class GopEncoder:
                                         else None))
         return self._chain.add(units)
 
-    def encode_stream(self, frames) -> bytes:
-        out = bytearray()
-        for f in frames:
-            out += self.encode_frame(f)
-        out += self.flush()
-        out += self._chain.add([bs.make_eos_unit()], final_eos=True)
-        return bytes(out)

@@ -42,12 +42,12 @@ _ME_CACHE = {}
 
 
 def _get_me(p: Params, n_extra: int = 0):
-    vf = p.video_format
-    key = (vf.width, vf.height, p.xbsep_luma, p.ybsep_luma,
+    pw, ph = p.video_format.picture_luma_size()
+    key = (pw, ph, p.xbsep_luma, p.ybsep_luma,
            p.x_num_blocks, p.y_num_blocks, n_extra)
     fn = _ME_CACHE.get(key)
     if fn is None:
-        fn = me_mod.make_me_fn(vf.height, vf.width, p.xbsep_luma,
+        fn = me_mod.make_me_fn(ph, pw, p.xbsep_luma,
                                p.ybsep_luma, p.x_num_blocks, p.y_num_blocks,
                                n_extra=n_extra)
         _ME_CACHE[key] = fn
@@ -60,11 +60,11 @@ N_PHASECORR_CANDS = 8
 def _phasecorr_candidates(p: Params, cur_y, ref_y):
     """Phase-correlation candidate vectors for this frame pair (device)."""
     from schroedinger_tpu.encoder import phasecorr as pcm
-    vf = p.video_format
-    key = ("pc", vf.width, vf.height)
+    pw, ph = p.video_format.picture_luma_size()
+    key = ("pc", pw, ph)
     fn = _ME_CACHE.get(key)
     if fn is None:
-        fn = pcm.make_phasecorr_fn(vf.height, vf.width)
+        fn = pcm.make_phasecorr_fn(ph, pw)
         _ME_CACHE[key] = fn
     vecs = fn(cur_y, ref_y)
     return jnp.asarray(
@@ -156,12 +156,12 @@ def estimate_motion(planes_u8, ref: RefFrame, p: Params, lambda_dc=1.1,
         dy, dx = me(cur_y, ref_y)
     mv = jnp.stack([dy, dx], axis=-1)
     if p.mv_precision > 0:
-        vf0 = p.video_format
-        key = ("subpel", vf0.width, vf0.height, p.xbsep_luma, p.ybsep_luma,
+        pw0, ph0 = p.video_format.picture_luma_size()
+        key = ("subpel", pw0, ph0, p.xbsep_luma, p.ybsep_luma,
                p.x_num_blocks, p.y_num_blocks, p.mv_precision)
         fn = _ME_CACHE.get(key)
         if fn is None:
-            fn = me_mod.make_subpel_refine(vf0.height, vf0.width,
+            fn = me_mod.make_subpel_refine(ph0, pw0,
                                            p.xbsep_luma, p.ybsep_luma,
                                            p.x_num_blocks, p.y_num_blocks,
                                            p.mv_precision)
@@ -257,7 +257,7 @@ def _get_p_pipeline(p: Params, want_recon: bool):
     vf = p.video_format
     depth = p.transform_depth
     wavelet = p.wavelet_filter_index
-    key = ("pq", vf.width, vf.height, depth, int(wavelet),
+    key = ("pq",) + vf.picture_luma_size() + (depth, int(wavelet),
            vf.chroma_format, want_recon)
     hit = _ME_CACHE.get(key)
     if hit is not None:
@@ -352,7 +352,7 @@ _P_FIELD_ORDER = ("split", "pred_mode", "using_global", "dx1", "dy1",
                   "dx2", "dy2", "dc0", "dc1", "dc2")
 
 
-def _get_p_step(p: Params, n_extra: int = 0):
+def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False):
     """One fused jitted program for a whole P picture (TPU-first analog of
     the reference's per-stage encoder lifecycle, schroencoder.c:2500-2700):
 
@@ -368,9 +368,10 @@ def _get_p_step(p: Params, n_extra: int = 0):
     frame of lag instead of a second dispatch).
     """
     vf = p.video_format
-    key = ("pstep", vf.width, vf.height, p.transform_depth,
+    key = ("pstep",) + vf.picture_luma_size() + (p.transform_depth,
            int(p.wavelet_filter_index), vf.chroma_format, p.mv_precision,
-           p.xbsep_luma, p.ybsep_luma, p.xblen_luma, p.yblen_luma, n_extra)
+           p.xbsep_luma, p.ybsep_luma, p.xblen_luma, p.yblen_luma, n_extra,
+           want_stats)
     hit = _ME_CACHE.get(key)
     if hit is not None:
         return hit
@@ -397,10 +398,11 @@ def _get_p_step(p: Params, n_extra: int = 0):
     QF = jnp.asarray(tables.QUANT_FACTOR, jnp.int32)
     QO = jnp.asarray(tables.QUANT_OFFSET_3_8, jnp.int32)
 
-    me_body = me_mod.make_me_body(vf.height, vf.width, p.xbsep_luma,
+    pw0, ph0 = vf.picture_luma_size()
+    me_body = me_mod.make_me_body(ph0, pw0, p.xbsep_luma,
                                   p.ybsep_luma, xnb, ynb, n_extra=n_extra)
     subpel_body = (me_mod.make_subpel_body(
-        vf.height, vf.width, p.xbsep_luma, p.ybsep_luma, xnb, ynb,
+        ph0, pw0, p.xbsep_luma, p.ybsep_luma, xnb, ynb,
         p.mv_precision) if p.mv_precision > 0 else None)
     render_body = obmc.make_render_body(p, 1)
 
@@ -463,30 +465,44 @@ def _get_p_step(p: Params, n_extra: int = 0):
                    + pred.astype(jnp.int32) + 128)
             outr.append(jnp.clip(rec, 0, 255).astype(jnp.uint8))
 
-        # 61-way per-subband (bits, sq-error) estimates: feed the CBR and
-        # constant-lambda/-error quantiser engines (exact-stat analog of
-        # schroquantiser.c's histogram estimate tables, :419-520)
-        qmj = jnp.asarray(qm)
-        allflat = jnp.concatenate(rc_flat).astype(jnp.int32)
-        qmo = jnp.concatenate(
-            [jnp.repeat(qmj, sizes, total_repeat_length=int(sizes.sum()))
-             for sizes in sizes3])
-        seg = jnp.concatenate(
-            [jnp.repeat(jnp.arange(nb, dtype=jnp.int32), sizes,
-                        total_repeat_length=int(sizes.sum()))
-             for sizes in sizes3])
+        if want_stats:
+            # 61-way per-subband (bits, sq-error) estimates for the
+            # constant-lambda/-error quantiser engines (exact-stat analog
+            # of schroquantiser.c's estimate tables, :419-520).  Per-band
+            # sums use STATIC slicing, not segment_sum — scatter ops
+            # serialise terribly on TPU.
+            qmj = jnp.asarray(qm)
+            allflat = jnp.concatenate(rc_flat).astype(jnp.int32)
+            qmo = jnp.concatenate(
+                [jnp.repeat(qmj, sizes, total_repeat_length=int(sizes.sum()))
+                 for sizes in sizes3])
+            # band boundaries within the concatenated flat (3 comps)
+            bounds = []
+            off = 0
+            for sizes in sizes3:
+                for bi, n in enumerate(sizes):
+                    bounds.append((bi, off, off + int(n)))
+                    off += int(n)
 
-        def one(base):
-            from schroedinger_tpu.encoder.ratecontrol import _sint_bits
-            qi = jnp.clip(base - qmo, 0, 60)
-            qqq = q.quantise(allflat, QF[qi], QO[qi])
-            dqq = q.dequantise(qqq, QF[qi], QO[qi])
-            b = _sint_bits(qqq).astype(jnp.float32)
-            e = jnp.square((allflat - dqq).astype(jnp.float32))
-            return (jax.ops.segment_sum(b, seg, num_segments=nb),
-                    jax.ops.segment_sum(e, seg, num_segments=nb))
+            def one(base):
+                from schroedinger_tpu.encoder.ratecontrol import _sint_bits
+                qi = jnp.clip(base - qmo, 0, 60)
+                qqq = q.quantise(allflat, QF[qi], QO[qi])
+                dqq = q.dequantise(qqq, QF[qi], QO[qi])
+                b = _sint_bits(qqq).astype(jnp.float32)
+                e = jnp.square((allflat - dqq).astype(jnp.float32))
+                bsum = [jnp.float32(0)] * nb
+                esum = [jnp.float32(0)] * nb
+                for bi, lo, hi in bounds:
+                    bsum[bi] = bsum[bi] + b[lo:hi].sum()
+                    esum[bi] = esum[bi] + e[lo:hi].sum()
+                return jnp.stack(bsum), jnp.stack(esum)
 
-        rc_bits, rc_err = jax.lax.map(one, jnp.arange(61, dtype=jnp.int32))
+            rc_bits, rc_err = jax.lax.map(one,
+                                          jnp.arange(61, dtype=jnp.int32))
+        else:
+            rc_bits = jnp.zeros((61, nb), jnp.float32)
+            rc_err = jnp.zeros((61, nb), jnp.float32)
 
         flist = tuple(fields[k] for k in _P_FIELD_ORDER)
         return flist + tuple(outq) + tuple(outr) + (rc_bits, rc_err)
@@ -553,6 +569,60 @@ def write_prediction_parameters(w: BitWriter, p: Params) -> None:
             w.write_sint(p.picture_weight_2)
 
 
+def start_inter_picture(planes_u8, p: Params, ref1: RefFrame,
+                        base_qi: int = 20, use_phasecorr: bool = False,
+                        qi_bands_override=None,
+                        want_stats: bool = False) -> dict:
+    """Dispatch the fused P-step for one picture (async: XLA queues the
+    work; nothing blocks). The returned pending dict carries the device
+    handles — `recon`/`up` are usable as the next frame's reference
+    immediately, so a caller can start picture N+1 while the host entropy
+    coding of picture N runs (finish_inter_picture)."""
+    assert _native is not None
+    nb = subband_count(p.transform_depth)
+    qm = np.asarray(p.quant_matrix[:nb], np.int32)
+    n_extra = N_PHASECORR_CANDS if use_phasecorr else 0
+    stepfn, shapes3 = _get_p_step(p, n_extra=n_extra, want_stats=want_stats)
+    if qi_bands_override is not None:
+        qi_bands = np.asarray(qi_bands_override, np.int32)
+    else:
+        qi_bands = np.clip(base_qi - qm, 0, 60).astype(np.int32)
+    ups = ref1.get_upsampled()
+    cur = [jnp.asarray(pl) for pl in planes_u8]
+    args = (cur[0], cur[1], cur[2], jnp.asarray(ref1.planes[0]),
+            ups[0], ups[1], ups[2], jnp.asarray(qi_bands))
+    if use_phasecorr:
+        outs = stepfn(*args, _phasecorr_candidates(p, cur[0], args[3]))
+    else:
+        outs = stepfn(*args)
+    nf = len(_P_FIELD_ORDER)
+    return {
+        "p": p, "outs": outs, "qi_bands": qi_bands, "shapes3": shapes3,
+        "base_qi": int(qi_bands[0] + qm[0]),
+        "want_stats": want_stats,
+        "recon": (outs[nf + 3], outs[nf + 4], outs[nf + 5]),
+        "up": None,
+    }
+
+
+def finish_inter_picture(pending: dict, frame_number: int, ref1_num: int,
+                         is_ref: bool = True, retired: Optional[int] = None):
+    """Fetch the fused step's results and entropy-code the parse unit.
+    Returns (unit_bytes, stats)."""
+    p = pending["p"]
+    outs = pending["outs"]
+    nf = len(_P_FIELD_ORDER)
+    host = jax.device_get(outs[:nf + 3] + outs[nf + 6:nf + 8])
+    mv = {k: np.ascontiguousarray(a)
+          for k, a in zip(_P_FIELD_ORDER, host[:nf])}
+    host_q = host[nf:nf + 3]
+    stats = ((host[nf + 3], host[nf + 4])     # (61, nb) bits / sq-err
+             if pending.get("want_stats") else None)
+    unit = _write_p_unit(p, frame_number, ref1_num, is_ref, retired, mv,
+                         host_q, pending["shapes3"], pending["qi_bands"])
+    return unit, stats
+
+
 def encode_inter_picture(planes_u8, p: Params, frame_number: int,
                          ref1_num: int, ref1: RefFrame,
                          base_qi: int = 20, is_ref: bool = True,
@@ -560,13 +630,14 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
                          target_bits: Optional[int] = None,
                          rc_correction: float = 1.0,
                          use_phasecorr: bool = False,
-                         qi_bands_override=None):
+                         qi_bands_override=None,
+                         want_stats: bool = False):
     """Encode one P picture. Returns (parse_unit_bytes, recon_planes,
-    used_base_qi, stats) where stats is (bits61, err61) per-subband
-    estimate tables from the fused path (None on the CBR path), consumed
-    by the constant-lambda / constant-error quantiser engines next frame.
-    qi_bands_override: explicit per-subband quant indices (nb,) chosen by
-    a quantiser engine; overrides base_qi - quant_matrix."""
+    used_base_qi, stats, up_planes) where stats is (bits61, err61)
+    per-subband estimate tables from the fused path (None on the CBR
+    path), consumed by the constant-lambda / constant-error quantiser
+    engines next frame.  qi_bands_override: explicit per-subband quant
+    indices (nb,) chosen by a quantiser engine."""
     assert _native is not None
     depth = p.transform_depth
     nb = subband_count(depth)
@@ -575,43 +646,34 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
     qm = np.asarray(p.quant_matrix[:nb], np.int32)
 
     if target_bits is None:
-        # fused single-dispatch path: whole P picture as one XLA program
-        n_extra = N_PHASECORR_CANDS if use_phasecorr else 0
-        stepfn, shapes3 = _get_p_step(p, n_extra=n_extra)
-        if qi_bands_override is not None:
-            qi_bands = np.asarray(qi_bands_override, np.int32)
-        else:
-            qi_bands = np.clip(base_qi - qm, 0, 60).astype(np.int32)
-        ups = ref1.get_upsampled()
-        cur = [jnp.asarray(pl) for pl in planes_u8]
-        args = (cur[0], cur[1], cur[2], jnp.asarray(ref1.planes[0]),
-                ups[0], ups[1], ups[2], jnp.asarray(qi_bands))
-        if use_phasecorr:
-            outs = stepfn(*args, _phasecorr_candidates(p, cur[0], args[3]))
-        else:
-            outs = stepfn(*args)
-        nf = len(_P_FIELD_ORDER)
-        host = jax.device_get(outs[:nf + 3] + outs[nf + 6:nf + 8])
-        mv = {k: np.ascontiguousarray(a)
-              for k, a in zip(_P_FIELD_ORDER, host[:nf])}
-        host_q = host[nf:nf + 3]
-        stats = (host[nf + 3], host[nf + 4])  # (61, nb) bits / sq-err
-        recon_planes = outs[nf + 3:nf + 6]    # stays on device
-    else:
-        stats = None
-        mv = estimate_motion(planes_u8, ref1, p, use_phasecorr=use_phasecorr)
-        preds = render_prediction(mv, p, ref1)
-        tfn, rcfn, qrfn, shapes3 = _get_p_pipeline(p, want_recon=True)
-        flats = tfn(jnp.asarray(planes_u8[0]), jnp.asarray(planes_u8[1]),
-                    jnp.asarray(planes_u8[2]), *preds)
-        bits = np.asarray(rcfn(*flats)).astype(np.float64) * rc_correction
-        fits = np.nonzero(bits <= target_bits)[0]
-        base_qi = int(fits[0]) if len(fits) else 60
-        qi_bands = np.clip(base_qi - qm, 0, 60).astype(np.int32)
-        outs = qrfn(*flats, *preds, jnp.asarray(qi_bands))
-        host_q = jax.device_get(outs[:3])    # one batched transfer
-        recon_planes = outs[3:]              # stays on device
+        pend = start_inter_picture(planes_u8, p, ref1, base_qi=base_qi,
+                                   use_phasecorr=use_phasecorr,
+                                   qi_bands_override=qi_bands_override,
+                                   want_stats=want_stats)
+        unit, stats = finish_inter_picture(pend, frame_number, ref1_num,
+                                           is_ref=is_ref, retired=retired)
+        return unit, pend["recon"], base_qi, stats, pend["up"]
+    mv = estimate_motion(planes_u8, ref1, p, use_phasecorr=use_phasecorr)
+    preds = render_prediction(mv, p, ref1)
+    tfn, rcfn, qrfn, shapes3 = _get_p_pipeline(p, want_recon=True)
+    flats = tfn(jnp.asarray(planes_u8[0]), jnp.asarray(planes_u8[1]),
+                jnp.asarray(planes_u8[2]), *preds)
+    bits = np.asarray(rcfn(*flats)).astype(np.float64) * rc_correction
+    fits = np.nonzero(bits <= target_bits)[0]
+    base_qi = int(fits[0]) if len(fits) else 60
+    qi_bands = np.clip(base_qi - qm, 0, 60).astype(np.int32)
+    outs = qrfn(*flats, *preds, jnp.asarray(qi_bands))
+    host_q = jax.device_get(outs[:3])    # one batched transfer
+    recon_planes = outs[3:]              # stays on device
+    unit = _write_p_unit(p, frame_number, ref1_num, is_ref, retired, mv,
+                         host_q, shapes3, qi_bands)
+    return unit, tuple(recon_planes), base_qi, None, None
 
+
+def _write_p_unit(p: Params, frame_number: int, ref1_num: int, is_ref: bool,
+                  retired: Optional[int], mv, host_q, shapes3, qi_bands):
+    """Host entropy coding + parse-unit assembly for a P picture."""
+    nb = subband_count(p.transform_depth)
     w = BitWriter()
     code = parse_code_picture(is_ref, 1, False, False)
     write_parse_info(w, code)
@@ -674,7 +736,7 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
             w.sync()
             w.write_bytes(bytes(payload))
     w.sync()
-    return w.get_bytes(), tuple(recon_planes), base_qi, stats
+    return w.get_bytes()
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6, 7))

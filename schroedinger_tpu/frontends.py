@@ -195,3 +195,33 @@ def unpack_frame(data, fourcc: str, width: int, height: int):
 def pack_frame(planes, fourcc: str) -> bytes:
     """(y, u, v) planes -> packed buffer."""
     return _PACK[fourcc](*planes)
+
+
+def split_fields(planes, tff: bool = True):
+    """Frame -> (first field, second field) planes by row parity
+    (schro_frame_split_fields, schroframe.c).  tff: first field = top
+    (even) rows."""
+    if any(np.asarray(p).shape[0] % 2 for p in planes):
+        raise ValueError("interlaced coding requires even plane heights")
+    a, b = (0, 1) if tff else (1, 0)
+    f1 = tuple(np.ascontiguousarray(np.asarray(p)[a::2]) for p in planes)
+    f2 = tuple(np.ascontiguousarray(np.asarray(p)[b::2]) for p in planes)
+    return f1, f2
+
+
+def weave_fields(f1, f2, tff: bool = True):
+    """(first field, second field) -> woven frame planes (inverse of
+    split_fields)."""
+    out = []
+    for p1, p2 in zip(f1, f2):
+        p1 = np.asarray(p1)
+        p2 = np.asarray(p2)
+        fr = np.empty((p1.shape[0] + p2.shape[0], p1.shape[1]), p1.dtype)
+        if tff:
+            fr[0::2] = p1
+            fr[1::2] = p2
+        else:
+            fr[1::2] = p1
+            fr[0::2] = p2
+        out.append(fr)
+    return tuple(out)

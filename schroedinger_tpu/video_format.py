@@ -156,6 +156,11 @@ def guess_std_index(vf: VideoFormat) -> int:
             score += 1
         if std.interlaced == vf.interlaced:
             score += 1
+        # top_field_first is NOT explicitly coded in the stream — it can
+        # only come from the base index, so a match is a hard requirement
+        # for interlaced sources (schrovideoformat.c:295-299, weight 0x8000)
+        if vf.interlaced and std.top_field_first == vf.top_field_first:
+            score += 0x8000
         if score > best_score:
             best, best_score = i, score
     return best

@@ -140,3 +140,24 @@ def test_bframes_roundtrip():
     for n, (g3, orig) in enumerate(zip(mine, frames)):
         p = psnr(g3[0], orig[0])
         assert p > 30, f"frame {n} PSNR {p:.1f}"
+
+
+def test_pipelined_encode_stream_matches_serial():
+    """GopEncoder.encode_stream (device/host overlap) must produce the
+    byte-identical stream to the frame-by-frame path."""
+    frames = make_frames(7)
+    vf = VideoFormat(width=W, height=H, clean_width=W, clean_height=H,
+                     chroma_format=ChromaFormat.C420,
+                     frame_rate_numerator=25, frame_rate_denominator=1)
+    from schroedinger_tpu import bitstream as bs
+    e1 = GopEncoder(vf, base_qi_intra=12, base_qi_inter=16, gop_length=4)
+    serial = bytearray()
+    for f in frames:
+        serial += e1.encode_frame(f)
+    serial += e1._chain.add([bs.make_eos_unit()], final_eos=True)
+    e2 = GopEncoder(vf, base_qi_intra=12, base_qi_inter=16, gop_length=4)
+    piped = e2.encode_stream(frames)
+    assert bytes(serial) == bytes(piped)
+
+    ref = so.decode(bytes(piped), W, H)
+    assert len(ref) == len(frames)
