@@ -175,7 +175,13 @@ class StreamDecoder:
                       ref2: Optional[RefFrame], residual_planes):
         vfmt = p.video_format
         mvj = {k: jnp.asarray(v) for k, v in mv.items()}
-        render = obmc.make_render_fn(p, 2 if ref2 is not None else 1)
+        # hostile streams may carry MVs beyond the patch path's margin;
+        # fall back to the per-pixel render for those pictures
+        bound = obmc.MV_BOUND_PEL << p.mv_precision
+        in_bound = all(np.abs(mv[k]).max(initial=0) <= bound
+                       for k in ("dx1", "dy1", "dx2", "dy2"))
+        render = obmc.make_render_fn(p, 2 if ref2 is not None else 1,
+                                     use_patches=None if in_bound else False)
         if ref2 is not None:
             preds = render(mvj, tuple(ref1.get_upsampled()),
                            tuple(ref2.get_upsampled()))

@@ -71,27 +71,21 @@ def _phasecorr_candidates(p: Params, cur_y, ref_y):
         pcm.pick_candidates(np.asarray(vecs), n=N_PHASECORR_CANDS))
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _mode_stats(cur_y, ref_y, mv, ybsep, xbsep, ynb, xnb):
-    """Per-block SAD of the MC prediction and of the DC (mean) prediction."""
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _dc_stats(cur_y, ybsep, xbsep, ynb, xnb):
+    """Per-block SAD of the DC (mean) prediction + block means.
+
+    (The MC SAD now comes straight from the patch-based ME/subpel refine,
+    so no reference sampling happens here.)"""
     H = ybsep * ynb
     W = xbsep * xnb
     h, w = cur_y.shape
     c = jnp.pad(cur_y, ((0, H - h), (0, W - w)), mode="edge").astype(jnp.int32)
-    r = jnp.pad(ref_y, ((0, H - h), (0, W - w)), mode="edge")
-    dy_pix = jnp.repeat(jnp.repeat(mv[..., 0], ybsep, 0), xbsep, 1)
-    dx_pix = jnp.repeat(jnp.repeat(mv[..., 1], ybsep, 0), xbsep, 1)
-    yy = jnp.arange(H)[:, None]
-    xx = jnp.arange(W)[None, :]
-    sy = jnp.clip(yy + dy_pix, 0, H - 1)
-    sx = jnp.clip(xx + dx_pix, 0, W - 1)
-    pred = r[sy, sx].astype(jnp.int32)
-    sad_mc = jnp.abs(c - pred).reshape(ynb, ybsep, xnb, xbsep).sum((1, 3))
     bmean = c.reshape(ynb, ybsep, xnb, xbsep).mean(axis=(1, 3))
     bmean_i = jnp.round(bmean).astype(jnp.int32)
     sad_dc = jnp.abs(c - jnp.repeat(jnp.repeat(bmean_i, ybsep, 0), xbsep, 1)
                      ).reshape(ynb, ybsep, xnb, xbsep).sum((1, 3))
-    return sad_mc, sad_dc, bmean_i
+    return sad_dc, bmean_i
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -150,11 +144,10 @@ def estimate_motion(planes_u8, ref: RefFrame, p: Params, lambda_dc=1.1,
     if use_phasecorr:
         cands = _phasecorr_candidates(p, cur_y, ref_y)
         me = _get_me(p, n_extra=N_PHASECORR_CANDS)
-        dy, dx = me(cur_y, ref_y, cands)
+        dy, dx, sad_mc = me(cur_y, ref_y, cands)
     else:
         me = _get_me(p)
-        dy, dx = me(cur_y, ref_y)
-    mv = jnp.stack([dy, dx], axis=-1)
+        dy, dx, sad_mc = me(cur_y, ref_y)
     if p.mv_precision > 0:
         pw0, ph0 = p.video_format.picture_luma_size()
         key = ("subpel", pw0, ph0, p.xbsep_luma, p.ybsep_luma,
@@ -166,9 +159,8 @@ def estimate_motion(planes_u8, ref: RefFrame, p: Params, lambda_dc=1.1,
                                            p.x_num_blocks, p.y_num_blocks,
                                            p.mv_precision)
             _ME_CACHE[key] = fn
-        dy_s, dx_s = fn(cur_y, ref.get_upsampled()[0], dy, dx)
-    sad_mc, sad_dc, mean_y = _mode_stats(cur_y, ref_y, mv, p.ybsep_luma,
-                                         p.xbsep_luma, ynb, xnb)
+        dy_s, dx_s, sad_mc = fn(cur_y, ref.get_upsampled()[0], dy, dx)
+    sad_dc, mean_y = _dc_stats(cur_y, p.ybsep_luma, p.xbsep_luma, ynb, xnb)
     h_shift = p.video_format.chroma_format.h_shift
     v_shift = p.video_format.chroma_format.v_shift
     mean_u = _block_means(jnp.asarray(planes_u8[1]), None,
@@ -407,16 +399,15 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False):
     render_body = obmc.make_render_body(p, 1)
 
     def step(y, u, v, ref_y, up_y, up_u, up_v, qi_bands, extra=None):
-        dy, dx = me_body(y, ref_y, extra) if n_extra else me_body(y, ref_y)
-        mvs = jnp.stack([dy, dx], axis=-1)
-        sad_mc, sad_dc, mean_y = _mode_stats(y, ref_y, mvs, p.ybsep_luma,
-                                             p.xbsep_luma, ynb, xnb)
+        dy, dx, sad_mc = (me_body(y, ref_y, extra) if n_extra
+                          else me_body(y, ref_y))
+        sad_dc, mean_y = _dc_stats(y, p.ybsep_luma, p.xbsep_luma, ynb, xnb)
         mean_u = _block_means(u, None, p.ybsep_luma >> v_shift,
                               p.xbsep_luma >> h_shift, ynb, xnb)
         mean_v = _block_means(v, None, p.ybsep_luma >> v_shift,
                               p.xbsep_luma >> h_shift, ynb, xnb)
         if subpel_body is not None:
-            dy, dx = subpel_body(y, up_y, dy, dx)
+            dy, dx, sad_mc = subpel_body(y, up_y, dy, dx)
         # mode decision: integer form of sad_dc * 1.1 < sad_mc
         mc = jnp.where(sad_dc * 11 < sad_mc * 10, 1, 0).astype(jnp.int32)
         zero = jnp.zeros((ynb, xnb), jnp.int32)
@@ -783,7 +774,7 @@ def estimate_motion_biref(planes_u8, ref1: RefFrame, ref2: RefFrame,
     me = _get_me(p)
     dys, dxs = [], []
     for ref in (ref1, ref2):
-        dy, dx = me(cur_y, jnp.asarray(ref.planes[0]))
+        dy, dx, _ = me(cur_y, jnp.asarray(ref.planes[0]))
         dys.append(dy)
         dxs.append(dx)
     mvs = jnp.stack([jnp.stack([dys[i], dxs[i]], axis=-1) for i in range(2)])

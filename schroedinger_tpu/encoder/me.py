@@ -1,12 +1,17 @@
 """Hierarchical block-matching motion estimation on TPU.
 
 TPU-first design (not a translation of schromotionest.c): every level
-evaluates all candidate displacements for all blocks at once — the SAD of a
-shifted reference against the current frame reduces blockwise via reshape,
-so the work is pure dense elementwise + reductions (VPU-friendly), with the
-candidate axis vmapped. Coarse levels scan exhaustively; finer levels refine
-around the upsampled parent vectors (hint propagation, like
-schroroughmotion.c but data-parallel).
+evaluates all candidate displacements for all blocks at once.  Per-pixel
+gathers are avoided everywhere (XLA lowers them to ~10 ns/element scalar
+code on TPU): candidate evaluation works on per-block *patches* pulled
+from an edge-clamp-padded reference with one batched dynamic-slice, after
+which every candidate is a static strided view of the patch — pure dense
+VPU work.  Coarse levels scan exhaustively with rolls (tiny images);
+finer levels refine around upsampled parent vectors (hint propagation,
+like schroroughmotion.c but data-parallel).
+
+MVs are clamped to +-ME_BOUND_PEL so the patch margins (and the OBMC
+patch renderer's MV_BOUND_PEL) are always respected.
 """
 from __future__ import annotations
 
@@ -16,6 +21,10 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from schroedinger_tpu.ops.obmc import pad_halfpel, _round8
+
+ME_BOUND_PEL = 124
 
 
 def downsample2(x):
@@ -28,7 +37,8 @@ def downsample2(x):
 
 
 def _block_sads(cur, ref, bs_y, bs_x, cands):
-    """SAD per block per candidate displacement.
+    """SAD per block per candidate displacement (roll formulation; used on
+    the small coarse level and for uniform extra candidates only).
 
     cur, ref: (H, W) u8 (H, W multiples of bs). cands: (K, 2) int32 (dy, dx).
     Returns (K, H//bs_y, W//bs_x) int32.
@@ -56,6 +66,58 @@ def _grid_cands(radius, step=1):
     return np.stack([dy.ravel(), dx.ravel()], axis=1).astype(np.int32)
 
 
+def _pad_ref(ref, margin):
+    """Edge-clamp padded pel-grid reference: out[m+k, m+l] = ref[clip k,l]."""
+    return jnp.pad(ref, ((margin, margin), (margin, margin)), mode="edge")
+
+
+def _to_blocks(c, nby, bs_y, nbx, bs_x):
+    """(nby*bs_y, nbx*bs_x) -> (nb, bs_y, bs_x)."""
+    return (c.reshape(nby, bs_y, nbx, bs_x).transpose(0, 2, 1, 3)
+            .reshape(nby * nbx, bs_y, bs_x))
+
+
+def _extract_ref_patches(P, mv_y, mv_x, nby, nbx, bs_y, bs_x, rad, margin):
+    """Per-block (bs+2rad) patches of the padded ref at the block origin
+    displaced by its MV.  Returns (nb, ph, pw) int32."""
+    ph = _round8(bs_y + 2 * rad)
+    pw = _round8(bs_x + 2 * rad)
+    oy = ((jnp.arange(nby) * bs_y)[:, None] + mv_y - rad + margin).ravel()
+    ox = ((jnp.arange(nbx) * bs_x)[None, :] + mv_x - rad + margin).ravel()
+    Ph, Pw = P.shape
+    oy = jnp.clip(oy, 0, Ph - ph)
+    ox = jnp.clip(ox, 0, Pw - pw)
+
+    def slc(a, b):
+        return jax.lax.dynamic_slice(P, (a, b), (ph, pw))
+
+    return jax.vmap(slc)(oy, ox).astype(jnp.int32)
+
+
+def _patch_refine(c_blocks, P, mv_y, mv_x, nby, nbx, bs_y, bs_x, rad,
+                  margin):
+    """(2rad+1)^2 full-pel refine around (mv_y, mv_x) via patches.
+
+    c_blocks: (nb, bs_y, bs_x) int32 current blocks.
+    Returns (mv_y, mv_x, best_sad) each (nby, nbx)."""
+    pat = _extract_ref_patches(P, mv_y, mv_x, nby, nbx, bs_y, bs_x, rad,
+                               margin)
+    sads = []
+    offs = []
+    for a in range(2 * rad + 1):
+        for b in range(2 * rad + 1):
+            v = pat[:, a:a + bs_y, b:b + bs_x]
+            sads.append(jnp.abs(c_blocks - v).sum((1, 2)))
+            offs.append((a - rad, b - rad))
+    s = jnp.stack(sads)                       # (K, nb)
+    best = jnp.argmin(s, axis=0)
+    doy = jnp.asarray([o[0] for o in offs], jnp.int32)[best]
+    dox = jnp.asarray([o[1] for o in offs], jnp.int32)[best]
+    best_sad = jnp.min(s, axis=0)
+    return (mv_y + doy.reshape(nby, nbx), mv_x + dox.reshape(nby, nbx),
+            best_sad.reshape(nby, nbx))
+
+
 def make_me_fn(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                levels=3, coarse_radius=8, refine_radius=2, n_extra=0):
     """Jitted wrapper of make_me_body (see there)."""
@@ -67,7 +129,7 @@ def make_me_fn(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
 
 def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                  levels=3, coarse_radius=8, refine_radius=2, n_extra=0):
-    """Build the raw (traceable) ME: (cur_y u8, ref_y u8) -> (dy, dx)
+    """Build the raw (traceable) ME: (cur_y u8, ref_y u8) -> (dy, dx, sad)
     per block (pel); compose inside larger jitted programs.
 
     With n_extra > 0 the function takes a third argument, an (n_extra, 2)
@@ -80,8 +142,7 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
     pad_h = ybsep * y_num_blocks
     pad_w = xbsep * x_num_blocks
 
-    cands_coarse = jnp.asarray(_grid_cands(coarse_radius))
-    cands_refine = jnp.asarray(_grid_cands(refine_radius))
+    margin = ME_BOUND_PEL + 2 * max(coarse_radius, refine_radius) + 16
 
     def me(cur, ref, extra=None):
         cur = jnp.pad(cur, ((0, pad_h - H), (0, pad_w - W)), mode="edge")
@@ -93,8 +154,8 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
             pyr_c.append(downsample2(pyr_c[-1]))
             pyr_r.append(downsample2(pyr_r[-1]))
 
-        # coarsest: exhaustive scan with per-level block size ~ bsep
         mv = None
+        sad = None
         for lev in range(levels - 1, -1, -1):
             c, r = pyr_c[lev], pyr_r[lev]
             bs_y = max(4, ybsep >> lev) if lev else ybsep
@@ -105,10 +166,16 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
             c = c[:h, :w]
             r = r[:h, :w]
             nby, nbx = h // bs_y, w // bs_x
+            cb = _to_blocks(c.astype(jnp.int32), nby, bs_y, nbx, bs_x)
+            P = _pad_ref(r, margin)
             if mv is None:
-                sads = _block_sads(c, r, bs_y, bs_x, cands_coarse)
-                best = jnp.argmin(sads, axis=0)
-                mv = cands_coarse[best]            # (nby, nbx, 2)
+                # coarsest level: exhaustive (2*coarse_radius+1)^2 scan,
+                # expressed as a patch refine around the zero vector
+                zero = jnp.zeros((nby, nbx), jnp.int32)
+                my, mx, sad = _patch_refine(cb, P, zero, zero, nby, nbx,
+                                            bs_y, bs_x, coarse_radius,
+                                            margin)
+                mv = jnp.stack([my, mx], axis=-1)
             else:
                 # upsample hints to this level's grid, scale x2
                 hint = mv * 2
@@ -116,29 +183,15 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                 ys = jnp.clip((jnp.arange(nby) * hy) // nby, 0, hy - 1)
                 xs = jnp.clip((jnp.arange(nbx) * hx) // nbx, 0, hx - 1)
                 hint = hint[ys[:, None], xs[None, :]]  # (nby, nbx, 2)
+                hint = jnp.clip(hint, -ME_BOUND_PEL, ME_BOUND_PEL)
 
-                # align the reference to the hint field once (one gather),
-                # then the small refine becomes cheap rolls of the aligned
-                # reference (roll crossing a block boundary only perturbs
-                # the SAD of edge pixels — decision noise, not correctness)
-                yy = jnp.arange(h)
-                xx = jnp.arange(w)
-                dy_pix = jnp.repeat(jnp.repeat(hint[..., 0], bs_y, 0), bs_x, 1)
-                dx_pix = jnp.repeat(jnp.repeat(hint[..., 1], bs_y, 0), bs_x, 1)
-                src_y = jnp.clip(yy[:, None] + dy_pix, 0, h - 1)
-                src_x = jnp.clip(xx[None, :] + dx_pix, 0, w - 1)
-                aligned = r[src_y, src_x].astype(jnp.int32)
-                ci = c.astype(jnp.int32)
+                my, mx, sad = _patch_refine(cb, P, hint[..., 0],
+                                            hint[..., 1], nby, nbx,
+                                            bs_y, bs_x, refine_radius,
+                                            margin)
+                mv = jnp.stack([my, mx], axis=-1)
 
-                def sad_at(_, d):
-                    shifted = jnp.roll(aligned, (-d[0], -d[1]), axis=(0, 1))
-                    diff = jnp.abs(ci - shifted)
-                    return None, diff.reshape(nby, bs_y, nbx, bs_x).sum((1, 3))
-
-                _, sads = jax.lax.scan(sad_at, None, cands_refine)
-                best = jnp.argmin(sads, axis=0)
-                mv = hint + cands_refine[best]
-
+        mv = jnp.clip(mv, -ME_BOUND_PEL, ME_BOUND_PEL)
         if n_extra:
             # compare the hierarchy result against the uniform candidates
             h, w = pyr_c[0].shape
@@ -147,50 +200,24 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
             c0 = pyr_c[0][:h, :w]
             r0 = pyr_r[0][:h, :w]
             nby, nbx = h // ybsep, w // xbsep
-            own_sad = _sad_displaced(c0, r0, ybsep, xbsep, mv)
-            ext_sads = _block_sads(c0, r0, ybsep, xbsep, extra)
-            all_sads = jnp.concatenate([own_sad[None], ext_sads], axis=0)
+            ext = jnp.clip(extra, -ME_BOUND_PEL, ME_BOUND_PEL)
+            ext_sads = _block_sads(c0, r0, ybsep, xbsep, ext)
+            all_sads = jnp.concatenate([sad[None], ext_sads], axis=0)
             all_mvs = jnp.concatenate(
                 [mv[None],
-                 jnp.broadcast_to(extra[:, None, None, :],
+                 jnp.broadcast_to(ext[:, None, None, :],
                                   (n_extra, nby, nbx, 2))], axis=0)
             best = jnp.argmin(all_sads, axis=0)          # (nby, nbx)
             mv = jnp.take_along_axis(
                 all_mvs, best[None, ..., None], axis=0)[0]
-            # local rescan around the winner (aligned gather + rolls)
-            yy = jnp.arange(h)
-            xx = jnp.arange(w)
-            dy_pix = jnp.repeat(jnp.repeat(mv[..., 0], ybsep, 0), xbsep, 1)
-            dx_pix = jnp.repeat(jnp.repeat(mv[..., 1], ybsep, 0), xbsep, 1)
-            src_y = jnp.clip(yy[:, None] + dy_pix, 0, h - 1)
-            src_x = jnp.clip(xx[None, :] + dx_pix, 0, w - 1)
-            aligned = r0[src_y, src_x].astype(jnp.int32)
-            ci = c0.astype(jnp.int32)
-
-            def sad_at2(_, d):
-                shifted = jnp.roll(aligned, (-d[0], -d[1]), axis=(0, 1))
-                diff = jnp.abs(ci - shifted)
-                return None, diff.reshape(nby, ybsep, nbx, xbsep).sum((1, 3))
-
-            _, sads = jax.lax.scan(sad_at2, None, cands_refine)
-            best = jnp.argmin(sads, axis=0)
-            mv = mv + cands_refine[best]
-        return mv[..., 0], mv[..., 1]
-
-    def _sad_displaced(c, r, bs_y, bs_x, disp):
-        """SAD per block with a per-block displacement field disp (nby,nbx,2)."""
-        h, w = c.shape
-        nby, nbx = h // bs_y, w // bs_x
-        yy = jnp.arange(h)
-        xx = jnp.arange(w)
-        # expand the per-block displacement field to per-pixel
-        dy_pix = jnp.repeat(jnp.repeat(disp[..., 0], bs_y, axis=0), bs_x, axis=1)
-        dx_pix = jnp.repeat(jnp.repeat(disp[..., 1], bs_y, axis=0), bs_x, axis=1)
-        src_y = jnp.clip(yy[:, None] + dy_pix, 0, h - 1)
-        src_x = jnp.clip(xx[None, :] + dx_pix, 0, w - 1)
-        sampled = r[src_y, src_x]
-        diff = jnp.abs(c.astype(jnp.int32) - sampled.astype(jnp.int32))
-        return diff.reshape(nby, bs_y, nbx, bs_x).sum(axis=(1, 3))
+            # local rescan around the winner
+            cb = _to_blocks(c0.astype(jnp.int32), nby, ybsep, nbx, xbsep)
+            P = _pad_ref(r0, margin)
+            my, mx, sad = _patch_refine(cb, P, mv[..., 0], mv[..., 1],
+                                        nby, nbx, ybsep, xbsep,
+                                        refine_radius, margin)
+            mv = jnp.stack([my, mx], axis=-1)
+        return mv[..., 0], mv[..., 1], sad
 
     return me
 
@@ -202,47 +229,119 @@ def make_subpel_refine(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                                      y_num_blocks, mv_precision))
 
 
+# per-level static candidate tables for the patch formulation.
+# At level l the incoming mv has been scaled x2 (so it is even); the
+# candidate offset d maps to a patch offset delta (relative to the base
+# half-pel origin (mv << (3-l) >> 2) - 1) and a bilinear fraction r.
+# Level 3 needs two variants switched on (mv & 3) == 2 (mv quarter parity).
+#   entries: d -> (delta, frac)           [levels 1, 2]
+#   entries: d -> ((delta0, frac0), (delta2, frac2))   [level 3]
+_SUBPEL_LVL = {
+    1: {-1: (0, 0), 0: (1, 0), 1: (2, 0)},
+    2: {-1: (0, 2), 0: (1, 0), 1: (1, 2)},
+    3: {-1: ((0, 3), (1, 1)), 0: ((1, 0), (1, 2)), 1: ((1, 1), (1, 3))},
+}
+
+
 def make_subpel_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                      mv_precision):
     """Raw sub-pel refinement body: full-pel MVs -> 1/2^prec-pel MVs.
 
-    Successively scales to each precision level and scans the 3x3 sub-pel
-    neighborhood, sampling the interleaved half-pel reference with the same
-    fetch the OBMC renderer uses (schromotionest.c:133-246 analog)."""
-    from schroedinger_tpu.ops.obmc import _fetch_pixels
+    (cur u8, up (2h,2w) u8, dy, dx) -> (mv_y, mv_x, best_sad).
 
+    Successively scales to each precision level and scans the 3x3 sub-pel
+    neighborhood with the renderer's exact fetch semantics
+    (schromotionest.c:133-246 analog), formulated on per-block patches of
+    the padded half-pel plane — all candidates are static strided views,
+    no per-pixel gathers."""
     pad_h = ybsep * y_num_blocks
     pad_w = xbsep * x_num_blocks
-    cands = jnp.asarray(_grid_cands(1))  # 9 offsets
+    nby, nbx = y_num_blocks, x_num_blocks
+    ph = _round8(2 * ybsep + 4)
+    pw = _round8(2 * xbsep + 4)
+    margin = 2 * ME_BOUND_PEL + max(ph, pw) + 16
+
+    def bilerp(pat, dy_off, dx_off, ry, rx, bs_y, bs_x):
+        """Sample block grid from patches at static half-pel offset
+        (dy_off, dx_off) and static fraction (ry, rx)."""
+        p00 = pat[:, dy_off:dy_off + 2 * bs_y:2, dx_off:dx_off + 2 * bs_x:2]
+        if ry == 0 and rx == 0:
+            return p00
+        p01 = pat[:, dy_off:dy_off + 2 * bs_y:2,
+                  dx_off + 1:dx_off + 1 + 2 * bs_x:2]
+        p10 = pat[:, dy_off + 1:dy_off + 1 + 2 * bs_y:2,
+                  dx_off:dx_off + 2 * bs_x:2]
+        p11 = pat[:, dy_off + 1:dy_off + 1 + 2 * bs_y:2,
+                  dx_off + 1:dx_off + 1 + 2 * bs_x:2]
+        v = ((4 - ry) * (4 - rx) * p00 + (4 - ry) * rx * p01
+             + ry * (4 - rx) * p10 + ry * rx * p11)
+        return (v + 8) >> 4
 
     def refine(cur, up, dy_full, dx_full):
         c = jnp.pad(cur, ((0, pad_h - H), (0, pad_w - W)),
                     mode="edge").astype(jnp.int32)
-        ys = jnp.arange(pad_h)
-        xs = jnp.arange(pad_w)
-        mv_y = dy_full
-        mv_x = dx_full
+        cb = _to_blocks(c, nby, ybsep, nbx, xbsep)
+        P = pad_halfpel(up, margin, margin)
+        Ph, Pw = P.shape
+        mv_y = jnp.clip(dy_full, -ME_BOUND_PEL, ME_BOUND_PEL)
+        mv_x = jnp.clip(dx_full, -ME_BOUND_PEL, ME_BOUND_PEL)
+        best_sad = None
         for level in range(1, mv_precision + 1):
             mv_y = mv_y * 2
             mv_x = mv_x * 2
-            scale_rem = mv_precision - level  # remaining shift to full prec
-            dy_pix = jnp.repeat(jnp.repeat(mv_y, ybsep, 0), xbsep, 1)
-            dx_pix = jnp.repeat(jnp.repeat(mv_x, ybsep, 0), xbsep, 1)
+            sh = 3 - level
+            # base half-pel origin per block (mv even -> exact)
+            oy0 = ((mv_y << sh) >> 2) - 1
+            ox0 = ((mv_x << sh) >> 2) - 1
+            by = (2 * (jnp.arange(nby) * ybsep)[:, None] + oy0 + margin)
+            bx = (2 * (jnp.arange(nbx) * xbsep)[None, :] + ox0 + margin)
+            oy = jnp.clip(jnp.broadcast_to(by, (nby, nbx)).ravel(),
+                          0, Ph - ph)
+            ox = jnp.clip(jnp.broadcast_to(bx, (nby, nbx)).ravel(),
+                          0, Pw - pw)
 
-            def sad_at(_, d):
-                py = ((ys[:, None] << level) + dy_pix + d[0]) << scale_rem
-                px = ((xs[None, :] << level) + dx_pix + d[1]) << scale_rem
-                # scale positions to the renderer's precision units
-                samp = _fetch_pixels(up, mv_precision,
-                                     px, py)
-                diff = jnp.abs(c - samp)
-                return None, diff.reshape(y_num_blocks, ybsep,
-                                          x_num_blocks, xbsep).sum((1, 3))
+            def slc(a, b):
+                return jax.lax.dynamic_slice(P, (a, b), (ph, pw))
 
-            _, sads = jax.lax.scan(sad_at, None, cands)
-            best = jnp.argmin(sads, axis=0)
-            mv_y = mv_y + cands[best][..., 0]
-            mv_x = mv_x + cands[best][..., 1]
-        return mv_y, mv_x
+            pat = jax.vmap(slc)(oy, ox).astype(jnp.int32)
+
+            if level < 3:
+                tab = _SUBPEL_LVL[level]
+
+                def sample(dy_c, dx_c):
+                    ofy, ry = tab[dy_c]
+                    ofx, rx = tab[dx_c]
+                    return bilerp(pat, ofy, ofx, ry, rx, ybsep, xbsep)
+            else:
+                tab = _SUBPEL_LVL[3]
+                py2 = ((mv_y & 3) == 2).ravel()[:, None, None]
+                px2 = ((mv_x & 3) == 2).ravel()[:, None, None]
+
+                def sample(dy_c, dx_c):
+                    (oy0a, ry0), (oy2a, ry2) = tab[dy_c]
+                    (ox0a, rx0), (ox2a, rx2) = tab[dx_c]
+                    v00 = bilerp(pat, oy0a, ox0a, ry0, rx0, ybsep, xbsep)
+                    v02 = bilerp(pat, oy0a, ox2a, ry0, rx2, ybsep, xbsep)
+                    v20 = bilerp(pat, oy2a, ox0a, ry2, rx0, ybsep, xbsep)
+                    v22 = bilerp(pat, oy2a, ox2a, ry2, rx2, ybsep, xbsep)
+                    v0 = jnp.where(px2, v02, v00)
+                    v2 = jnp.where(px2, v22, v20)
+                    return jnp.where(py2, v2, v0)
+
+            sads = []
+            offs = []
+            for dy_c in (-1, 0, 1):
+                for dx_c in (-1, 0, 1):
+                    v = sample(dy_c, dx_c)
+                    sads.append(jnp.abs(cb - v).sum((1, 2)))
+                    offs.append((dy_c, dx_c))
+            s = jnp.stack(sads)
+            best = jnp.argmin(s, axis=0)
+            doy = jnp.asarray([o[0] for o in offs], jnp.int32)[best]
+            dox = jnp.asarray([o[1] for o in offs], jnp.int32)[best]
+            mv_y = mv_y + doy.reshape(nby, nbx)
+            mv_x = mv_x + dox.reshape(nby, nbx)
+            best_sad = jnp.min(s, axis=0).reshape(nby, nbx)
+        return mv_y, mv_x, best_sad
 
     return refine

@@ -33,12 +33,18 @@ def _conv8_edge(x, axis):
     """8-tap filter at half positions along axis with clamped taps.
 
     out[i] = clamp((sum_j taps[j] * x[clamp(i + j - 3)] + 16) >> 5, 0, 255)
-    """
+
+    Formulated as edge-pad + static slices (dense; jnp.take lowers to a
+    slow TPU gather)."""
     n = x.shape[axis]
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (3, 4)
+    xp = jnp.pad(x, pad, mode="edge").astype(jnp.int32)
     acc = jnp.zeros(x.shape, jnp.int32)
     for j in range(8):
-        idx = jnp.clip(jnp.arange(n) + (j - 3), 0, n - 1)
-        acc = acc + jnp.take(x, idx, axis=axis).astype(jnp.int32) * UP_TAPS[j]
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(j, j + n)
+        acc = acc + xp[tuple(sl)] * UP_TAPS[j]
     return jnp.clip((acc + 16) >> 5, 0, 255).astype(jnp.uint8)
 
 
@@ -61,15 +67,15 @@ def upsample_plane(p):
 
 def make_halfpel(planes):
     """Stack the 4 half-pel planes into one (2h, 2w) interleaved array:
-    up[2y + (i>>1), 2x + (i&1)] = plane_i[y, x]."""
+    up[2y + (i>>1), 2x + (i&1)] = plane_i[y, x].
+
+    Dense stack/reshape interleave (strided .at[].set scatters are slow
+    on TPU)."""
     h0, h1, h2, h3 = planes
     h, w = h0.shape
-    up = jnp.zeros((2 * h, 2 * w), h0.dtype)
-    up = up.at[0::2, 0::2].set(h0)
-    up = up.at[0::2, 1::2].set(h1)
-    up = up.at[1::2, 0::2].set(h2)
-    up = up.at[1::2, 1::2].set(h3)
-    return up
+    top = jnp.stack([h0, h1], axis=2).reshape(h, 2 * w)
+    bot = jnp.stack([h2, h3], axis=2).reshape(h, 2 * w)
+    return jnp.stack([top, bot], axis=1).reshape(2 * h, 2 * w)
 
 
 def upsample_frame_np(p):
@@ -346,17 +352,197 @@ def render_component(mv_dx, mv_dy, mv_dx2, mv_dy2, pred_mode, dc,
     return jnp.clip(pred, 0, 255) - 128
 
 
+# ---------------------------------------------------------------------------
+# Patch-based fast render path.
+#
+# XLA per-pixel gathers run ~10 ns/element on TPU (measured ~27 ms per
+# 2M-index gather at 1080p), which made the gather-formulated render the
+# encoder's bottleneck.  Dirac MVs are block-constant, so every block reads a
+# *contiguous* patch of the half-pel plane: extract one patch per block with
+# a batched dynamic-slice (cheap), then all four bilinear taps become static
+# strided views of the patch and the OBMC accumulate becomes a dense
+# phase-decomposed reshape.  No per-pixel index math remains.
+#
+# Bit-exactness: the per-sample clamp of schro_upsampled_frame_get_pixel_*
+# is baked into a pre-padded plane (pad_halfpel); the bilinear weights,
+# picture-weight scaling, ramp weights and >>6 round are the same integer
+# arithmetic as render_component.  Valid whenever |mv| <= MV_BOUND_PEL
+# (the encoder clamps its MVs there; the decoder checks decoded MVs and
+# falls back to the per-pixel path for hostile streams) and there is no
+# global motion (per-pixel vectors).
+# ---------------------------------------------------------------------------
+
+MV_BOUND_PEL = 128
+
+
+def pad_halfpel(up, margin_y, margin_x):
+    """Padded half-pel plane with the reference's per-sample clamp baked in:
+
+    out[my + k, mx + l] == up[clip(k, 0, h2-2), clip(l, 0, w2-2)]  for all
+    k, l reachable within the margins.  (Row h2-1 / col w2-1 are never read
+    by any fetch precision — prec 0 reads even rows only, prec 1..3 clamp
+    to h2-2 — so replacing them is exact.)"""
+    h2, w2 = up.shape
+    core = up.at[h2 - 1, :].set(up[h2 - 2, :])
+    core = core.at[:, w2 - 1].set(core[:, w2 - 2])
+    return jnp.pad(core, ((margin_y, margin_y), (margin_x, margin_x)),
+                   mode="edge")
+
+
+def _round8(n):
+    return (n + 7) // 8 * 8
+
+
+def extract_patches(P, oy, ox, ph, pw):
+    """Batched dynamic-slice: (nb,) offsets -> (nb, ph, pw) patches."""
+    Ph, Pw = P.shape
+    oyc = jnp.clip(oy, 0, Ph - ph)
+    oxc = jnp.clip(ox, 0, Pw - pw)
+
+    def slc(a, b):
+        return jax.lax.dynamic_slice(P, (a, b), (ph, pw))
+
+    return jax.vmap(slc)(oyc, oxc)
+
+
+def _weight_rows(nblocks, blen, bsep, offset):
+    """(nblocks, blen) per-block-row 1-D OBMC weights with the picture-edge
+    overrides of obmc_weight_grids."""
+    prof = _ramp_weights(blen, offset)
+    W = np.tile(prof, (nblocks, 1)).astype(np.int32)
+    if offset > 0:
+        W[0, :2 * offset] = 8
+        W[nblocks - 1, bsep:] = 8
+    else:
+        W[:] = 8
+    return W
+
+
+def _sample_blocks(up, dy8, dx8, yb, xb, yblen, xblen, ybsep, xbsep,
+                   yoffset, xoffset, margin_y, margin_x):
+    """Per-block sub-pel sample grids.
+
+    dy8/dx8: (yb, xb) eighth-pel MVs (= mv << (3 - prec), chroma-shifted).
+    Returns (nb, yblen, xblen) int32 samples — the exact value
+    schro_upsampled_frame_get_pixel_prec{0,1,3} would fetch per pixel."""
+    nb = yb * xb
+    P = pad_halfpel(up, margin_y, margin_x)
+    oy = dy8 >> 2
+    ox = dx8 >> 2
+    ry = (dy8 & 3).reshape(nb, 1, 1)
+    rx = (dx8 & 3).reshape(nb, 1, 1)
+    base_y = 2 * (jnp.arange(yb) * ybsep - yoffset)[:, None] + margin_y
+    base_x = 2 * (jnp.arange(xb) * xbsep - xoffset)[None, :] + margin_x
+    ph = _round8(2 * yblen)
+    pw = _round8(2 * xblen)
+    pat = extract_patches(P, (base_y + oy).ravel(), (base_x + ox).ravel(),
+                          ph, pw)
+    q = pat.astype(jnp.int32)
+    p00 = q[:, 0:2 * yblen:2, 0:2 * xblen:2]
+    p01 = q[:, 0:2 * yblen:2, 1:2 * xblen:2]
+    p10 = q[:, 1:2 * yblen:2, 0:2 * xblen:2]
+    p11 = q[:, 1:2 * yblen:2, 1:2 * xblen:2]
+    v = ((4 - ry) * (4 - rx) * p00 + (4 - ry) * rx * p01
+         + ry * (4 - rx) * p10 + ry * rx * p11)
+    return (v + 8) >> 4
+
+
+def recompose_phases(contrib, yb, xb, yblen, xblen, ybsep, xbsep,
+                     yoffset, xoffset, out_h, out_w):
+    """Dense OBMC accumulate: (yb, xb, yblen, xblen) weighted block
+    contributions -> (out_h, out_w) sum.  Blocks are split into 2x2 parity
+    phases; within a phase the (padded) blocks tile a canvas disjointly, so
+    placement is pad/transpose/reshape — no scatter."""
+    assert yblen <= 2 * ybsep and xblen <= 2 * xbsep
+    ybe = yb + (yb & 1)
+    xbe = xb + (xb & 1)
+    c = jnp.pad(contrib, ((0, ybe - yb), (0, xbe - xb),
+                          (0, 2 * ybsep - yblen), (0, 2 * xbsep - xblen)))
+    acc = jnp.zeros((out_h, out_w), jnp.int32)
+    for pj in range(2):
+        for pi in range(2):
+            sub = c[pj::2, pi::2]
+            A, B = sub.shape[0], sub.shape[1]
+            canvas = sub.transpose(0, 2, 1, 3).reshape(A * 2 * ybsep,
+                                                       B * 2 * xbsep)
+            oy = pj * ybsep - yoffset
+            ox = pi * xbsep - xoffset
+            sy, cy = max(0, oy), max(0, -oy)
+            sx, cx = max(0, ox), max(0, -ox)
+            hh = min(out_h - sy, canvas.shape[0] - cy)
+            ww = min(out_w - sx, canvas.shape[1] - cx)
+            if hh <= 0 or ww <= 0:
+                continue
+            piece = canvas[cy:cy + hh, cx:cx + ww]
+            acc = acc + jnp.pad(piece, ((sy, out_h - sy - hh),
+                                        (sx, out_w - sx - ww)))
+    return acc
+
+
+def render_component_patches(mv_dx, mv_dy, mv_dx2, mv_dy2, pred_mode, dc,
+                             up1, up2, xblen, yblen, xbsep, ybsep,
+                             mv_precision, ref1_weight, ref2_weight,
+                             ref_weight_precision, out_h, out_w,
+                             h_shift=0, v_shift=0):
+    """Patch-based equivalent of render_component (no global motion).
+
+    Produces bit-identical output for |mv| <= MV_BOUND_PEL (luma pel)."""
+    yb, xb = pred_mode.shape
+    nb = yb * xb
+    xoffset = (xblen - xbsep) // 2
+    yoffset = (yblen - ybsep) // 2
+    sh = 3 - mv_precision
+
+    def to8(d, shift):
+        d = d >> shift if shift else d
+        return d << sh
+
+    # margins: worst |mv| in half-pel + block reach + patch size
+    margin_y = (MV_BOUND_PEL * 2 + 8) + 2 * yoffset + _round8(2 * yblen)
+    margin_x = (MV_BOUND_PEL * 2 + 8) + 2 * xoffset + _round8(2 * xblen)
+
+    mode = pred_mode.reshape(nb, 1, 1)
+    wsum = ref1_weight + ref2_weight
+    half = (1 << ref_weight_precision) >> 1
+
+    val = (dc.reshape(nb, 1, 1) + 128) * (mode == 0)
+    if up1 is not None:
+        v1 = _sample_blocks(up1, to8(mv_dy, v_shift), to8(mv_dx, h_shift),
+                            yb, xb, yblen, xblen, ybsep, xbsep,
+                            yoffset, xoffset, margin_y, margin_x)
+        val = val + (((wsum * v1 + half) >> ref_weight_precision)
+                     * (mode == 1))
+    if up2 is not None:
+        v2 = _sample_blocks(up2, to8(mv_dy2, v_shift), to8(mv_dx2, h_shift),
+                            yb, xb, yblen, xblen, ybsep, xbsep,
+                            yoffset, xoffset, margin_y, margin_x)
+        val = val + (((wsum * v2 + half) >> ref_weight_precision)
+                     * (mode == 2))
+        if up1 is not None:
+            val = val + (((ref1_weight * v1 + ref2_weight * v2 + half)
+                          >> ref_weight_precision) * (mode == 3))
+
+    wy = jnp.asarray(_weight_rows(yb, yblen, ybsep, yoffset))
+    wx = jnp.asarray(_weight_rows(xb, xblen, xbsep, xoffset))
+    contrib = (val.reshape(yb, xb, yblen, xblen)
+               * wy[:, None, :, None] * wx[None, :, None, :])
+    acc = recompose_phases(contrib, yb, xb, yblen, xblen, ybsep, xbsep,
+                           yoffset, xoffset, out_h, out_w)
+    pred = (acc + 32) >> 6
+    return jnp.clip(pred, 0, 255) - 128
+
+
 _RENDER_CACHE = {}
 
 
-def make_render_fn(p, num_refs: int):
+def make_render_fn(p, num_refs: int, use_patches=None):
     """Cached jitted whole-picture OBMC render for a Params geometry.
 
     fn(mv_dict, up1_planes, [up2_planes]) -> (pred_y, pred_u, pred_v),
     all device arrays; upsampled planes stay on device.
     """
     import jax as _jax
-    body = make_render_body(p, num_refs)
+    body = make_render_body(p, num_refs, use_patches=use_patches)
     key = ("jit", id(body))
     fn = _RENDER_CACHE.get(key)
     if fn is None:
@@ -368,18 +554,26 @@ def make_render_fn(p, num_refs: int):
     return fn
 
 
-def make_render_body(p, num_refs: int):
+def make_render_body(p, num_refs: int, use_patches=None):
     """Raw (traceable) whole-picture render body: (mv, up1, up2) -> preds.
-    Cached per geometry; compose inside larger jitted programs."""
+    Cached per geometry; compose inside larger jitted programs.
+
+    use_patches: None = auto (patch fast path unless global motion or odd
+    geometry); False forces the per-pixel gather path (decoder fallback for
+    streams with |mv| > MV_BOUND_PEL)."""
     vf = p.video_format
     gmk = tuple()
     if p.have_global_motion:
         gmk = tuple((g.b0, g.b1, g.a_exp, g.a00, g.a01, g.a10, g.a11,
                      g.c_exp, g.c0, g.c1) for g in p.global_motion)
+    if use_patches is None:
+        use_patches = (not p.have_global_motion
+                       and p.yblen_luma <= 2 * p.ybsep_luma
+                       and p.xblen_luma <= 2 * p.xbsep_luma)
     key = (vf.width, vf.height, int(vf.chroma_format), p.xblen_luma,
            p.yblen_luma, p.xbsep_luma, p.ybsep_luma, p.mv_precision,
            p.picture_weight_1, p.picture_weight_2, p.picture_weight_bits,
-           p.x_num_blocks, p.y_num_blocks, num_refs, gmk)
+           p.x_num_blocks, p.y_num_blocks, num_refs, gmk, use_patches)
     fn = _RENDER_CACHE.get(key)
     if fn is not None:
         return fn
@@ -411,6 +605,15 @@ def make_render_body(p, num_refs: int):
             xblen, yblen, xbsep, ybsep, hs, vs = geo[k]
             (w_pic, h_pic) = pic_sizes[k]
             dc = (mv["dc0"], mv["dc1"], mv["dc2"])[k]
+            if use_patches:
+                preds.append(render_component_patches(
+                    mv["dx1"], mv["dy1"], mv["dx2"], mv["dy2"],
+                    mv["pred_mode"], dc,
+                    up1[k], up2[k] if up2 is not None else None,
+                    xblen, yblen, xbsep, ybsep, p.mv_precision,
+                    p.picture_weight_1, p.picture_weight_2,
+                    p.picture_weight_bits, h_pic, w_pic, hs, vs))
+                continue
             preds.append(render_component(
                 mv["dx1"], mv["dy1"], mv["dx2"], mv["dy2"],
                 mv["pred_mode"], dc,

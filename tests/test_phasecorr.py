@@ -44,7 +44,7 @@ def test_me_with_candidates_recovers_large_motion():
     fn = me_mod.make_me_fn(h, w, bs, bs, nbx, nby, n_extra=4)
     extra = jnp.asarray(np.array(
         [[0, 0], [want[0], want[1]], [5, -5], [0, 7]], np.int32))
-    dy, dx = fn(jnp.asarray(cur), jnp.asarray(ref), extra)
+    dy, dx, _ = fn(jnp.asarray(cur), jnp.asarray(ref), extra)
     dy, dx = np.asarray(dy), np.asarray(dx)
     # interior blocks (away from the roll wrap seam) must lock onto the shift
     inner_y = slice(9, nby - 9)
@@ -54,7 +54,7 @@ def test_me_with_candidates_recovers_large_motion():
 
     # without candidates the same motion is unreachable
     fn0 = me_mod.make_me_fn(h, w, bs, bs, nbx, nby)
-    dy0, dx0 = fn0(jnp.asarray(cur), jnp.asarray(ref))
+    dy0, dx0, _ = fn0(jnp.asarray(cur), jnp.asarray(ref))
     assert abs(np.median(np.asarray(dy0)[inner_y, inner_x]) - want[0]) > 8
 
 
