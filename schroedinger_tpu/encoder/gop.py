@@ -38,7 +38,8 @@ class GopEncoder:
                  b_frames: int = 0,
                  enable_phasecorr: bool = False,
                  quantiser_engine=None,
-                 stats=None):
+                 stats=None,
+                 pipeline_depth: int = 3):
         self.vf = video_format
         self.intra_wavelet = intra_wavelet
         self.inter_wavelet = inter_wavelet
@@ -67,6 +68,7 @@ class GopEncoder:
         self.field_factor = 2 if video_format.interlaced_coding else 1
         self.enable_phasecorr = enable_phasecorr
         self.qengine = quantiser_engine
+        self.pipeline_depth = pipeline_depth
         self._bbuf = []  # buffered (num, planes) awaiting the next reference
         self.rc = None
         if bitrate:
@@ -172,7 +174,12 @@ class GopEncoder:
             out += self._chain.add([bs.make_eos_unit()], final_eos=True)
             return bytes(out)
 
-        pend = None  # (pending dict, (num, ref_num, retired, sc_score))
+        # keep several frames in flight: the tunnel's per-RPC latency and
+        # the device compute then overlap (the P-chain dependency lives on
+        # device, so depth only delays host entropy coding, not refs)
+        from collections import deque
+        depth = int(self.pipeline_depth)
+        pends = deque()  # (pending dict, (num, ref_num, retired, sc_score))
         for planes in frames:
             num = self.frame_number
             is_intra = ((num // self.field_factor) % self.gop_length) == 0
@@ -182,9 +189,8 @@ class GopEncoder:
                     and self.last_ref is not None):
                 is_intra = True
             if is_intra or self.last_ref is None:
-                if pend is not None:
-                    out += self._finish_pending(pend)
-                    pend = None
+                while pends:
+                    out += self._finish_pending(pends.popleft())
                 out += self._encode_ref(planes, num, True, sc)
                 continue
 
@@ -197,8 +203,8 @@ class GopEncoder:
                 use_phasecorr=self.enable_phasecorr,
                 qi_bands_override=qi_over,
                 want_stats=self.qengine is not None)
-            if pend is not None:
-                out += self._finish_pending(pend)
+            if pends:
+                ei_inter.prefetch_pending(pends[-1][0])
             # the new recon/upsample device handles become the reference
             # immediately; XLA serialises the dependency on device
             if self.prev_ref is not None:
@@ -208,9 +214,11 @@ class GopEncoder:
             self.prev_ref = self.last_ref
             self.last_ref = num
             self.frame_number += 1
-            pend = (pending, meta)
-        if pend is not None:
-            out += self._finish_pending(pend)
+            pends.append((pending, meta))
+            if len(pends) > depth:
+                out += self._finish_pending(pends.popleft())
+        while pends:
+            out += self._finish_pending(pends.popleft())
         out += self._chain.add([bs.make_eos_unit()], final_eos=True)
         return bytes(out)
 

@@ -62,27 +62,18 @@ def main():
     pend = ei.start_inter_picture(frames[1], p, ref, base_qi=20)
     jax.block_until_ready(pend["outs"])
     print(f"pstep compile+run: {time.perf_counter()-t0:.3f}s", flush=True)
-    unit = ei.finish_inter_picture(pend, 1, 0)
+    unit, _ = ei.finish_inter_picture(pend, 1, 0)
 
     for it in range(3):
         t0 = time.perf_counter()
         pend = ei.start_inter_picture(frames[2 + it], p, ref, base_qi=20)
-        jax.block_until_ready(pend["outs"])
+        jax.block_until_ready(pend["outs"][0])
         t1 = time.perf_counter()
-        nf = len(ei._P_FIELD_ORDER)
-        host = jax.device_get(pend["outs"][:nf + 3])
-        t2 = time.perf_counter()
-        mv = {k: np.ascontiguousarray(a)
-              for k, a in zip(ei._P_FIELD_ORDER, host[:nf])}
-        host_q = host[nf:nf + 3]
-        t3 = time.perf_counter()
-        unit = ei._write_p_unit(p, 2 + it, 0, True, None, mv, host_q,
-                                pend["shapes3"], pend["qi_bands"])
+        unit, _st = ei.finish_inter_picture(pend, 2 + it, 0)
         t4 = time.perf_counter()
-        qbytes = sum(a.nbytes for a in host_q)
-        print(f"iter{it}: tpu={t1-t0:.3f}s  xfer={t2-t1:.3f}s "
-              f"({qbytes/1e6:.1f}MB) mvcopy={t3-t2:.3f}s "
-              f"entropy={t4-t3:.3f}s unit={len(unit)}B", flush=True)
+        wbytes = pend["outs"][0].nbytes
+        print(f"iter{it}: tpu={t1-t0:.3f}s  finish(xfer+entropy)={t4-t1:.3f}s "
+              f"(wire {wbytes/1e6:.1f}MB) unit={len(unit)}B", flush=True)
 
     # also time the upsample (RefFrame.get_upsampled) since P-step needs it
     rf = RefFrame(tuple(pend["recon"]))

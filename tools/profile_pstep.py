@@ -87,8 +87,9 @@ def main():
     timeit("rc_bits 61-way", rcfn, *flats)
 
     # full fused step for comparison
-    stepfn, _ = ei._get_p_step(p)
-    timeit("FUSED pstep", stepfn, y, u, v, ref_y, ups[0], ups[1], ups[2],
+    stepfn, _shapes, _lay = ei._get_p_step(p)
+    packed = jnp.concatenate([y.ravel(), u.ravel(), v.ravel()])
+    timeit("FUSED pstep", stepfn, packed, ref_y, ups[0], ups[1], ups[2],
            qi_bands)
 
 
