@@ -179,6 +179,11 @@ class GopEncoder:
         # device, so depth only delays host entropy coding, not refs)
         from collections import deque
         depth = int(self.pipeline_depth)
+        if self.qengine is not None:
+            # the quantiser engine consumes each frame's stat tables with a
+            # one-frame lag; deeper pipelining would start frames before any
+            # stats ever arrive (pick() would stay None for the whole run)
+            depth = 0
         pends = deque()  # (pending dict, (num, ref_num, retired, sc_score))
         for planes in frames:
             num = self.frame_number
