@@ -340,6 +340,151 @@ def _derive_splits_dev(keys, ynb, xnb):
     return jnp.repeat(jnp.repeat(split, 4, axis=0), 4, axis=1)
 
 
+def make_rd_split_body(p: Params):
+    """Per-superblock RD split + mode search — TPU-native replacement for
+    the reference's schro_mode_decision (schromotionest.c:520-695 and the
+    split-level cost search, entropy estimators schromotionest.h:98-106).
+
+    Evaluates DC-vs-MC prediction cost at three granularities — per block
+    (split 2), per 2x2 quad (split 1), per superblock (split 0) — and picks,
+    for each superblock, the granularity minimising
+        sum(distortion) + lambda * estimated_bits.
+    Aggregate-MV distortion is measured at full pel on the pel reference
+    (a pure decision heuristic; the coded unit MV keeps subpel precision).
+    MV bits are charged against the superblock-mean vector as a stand-in
+    for the median predictor.  All candidate evaluation is dense patch
+    work (one batched dynamic-slice per granularity) — no per-pixel
+    gathers, per the TPU playbook.
+
+    Returned traceable body:
+        body(c, ref_y, dy, dx, sad_mc, sad_dc, mean_y, mean_u, mean_v, lam)
+          -> full MV-field dict (split/pred_mode/dx1/dy1/dc0..2/...)
+    where c is the edge-padded int32 luma on the block grid and
+    dy/dx are per-block MVs in 1/2^prec-pel units.
+    """
+    ynb, xnb = p.y_num_blocks, p.x_num_blocks
+    ybsep, xbsep = p.ybsep_luma, p.xbsep_luma
+    prec = p.mv_precision
+    pad_h, pad_w = ybsep * ynb, xbsep * xnb
+    margin = me_mod.ME_BOUND_PEL + 16
+    B = me_mod.ME_BOUND_PEL
+
+    def pool2(a):  # 2x2 sum
+        return a.reshape(a.shape[0] // 2, 2, a.shape[1] // 2, 2).sum((1, 3))
+
+    def iavg(a, n):  # rounded integer mean of an n-sum
+        return jnp.round(a.astype(jnp.float32) / n).astype(jnp.int32)
+
+    def sbits(v):  # exp-Golomb sint size (matches ratecontrol._sint_bits)
+        m = jnp.abs(v.astype(jnp.int32))
+        n = 32 - jax.lax.clz(m + 1)
+        return (2 * n - 1 + (m != 0)).astype(jnp.float32)
+
+    def e2(a):
+        return jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+
+    def e4(a):
+        return jnp.repeat(jnp.repeat(a, 4, 0), 4, 1)
+
+    def body(c, ref_y, dy, dx, sad_mc, sad_dc, mean_y, mean_u, mean_v, lam):
+        f32 = jnp.float32
+        # aggregate MVs per quad / superblock (subpel units)
+        qdy, qdx = iavg(pool2(dy), 4), iavg(pool2(dx), 4)
+        sdy, sdx = iavg(pool2(pool2(dy)), 16), iavg(pool2(pool2(dx)), 16)
+
+        def to_fullpel(v):
+            if prec == 0:
+                return v
+            return jnp.round(v.astype(f32) / (1 << prec)).astype(jnp.int32)
+
+        h, w = ref_y.shape
+        rp = jnp.pad(ref_y, ((0, pad_h - h), (0, pad_w - w)), mode="edge")
+        P = jnp.pad(rp, ((margin, margin), (margin, margin)), mode="edge")
+
+        # MC SAD of the aggregate vectors, evaluated at unit granularity
+        cbq = me_mod._to_blocks(c, ynb // 2, 2 * ybsep, xnb // 2, 2 * xbsep)
+        _, _, sad_q = me_mod._patch_refine(
+            cbq, P, jnp.clip(to_fullpel(qdy), -B, B),
+            jnp.clip(to_fullpel(qdx), -B, B),
+            ynb // 2, xnb // 2, 2 * ybsep, 2 * xbsep, 0, margin)
+        cbs = me_mod._to_blocks(c, ynb // 4, 4 * ybsep, xnb // 4, 4 * xbsep)
+        _, _, sad_s = me_mod._patch_refine(
+            cbs, P, jnp.clip(to_fullpel(sdy), -B, B),
+            jnp.clip(to_fullpel(sdx), -B, B),
+            ynb // 4, xnb // 4, 4 * ybsep, 4 * xbsep, 0, margin)
+
+        # DC SAD at quad / superblock granularity (vs the unit mean)
+        cq = c.reshape(ynb // 2, 2 * ybsep, xnb // 2, 2 * xbsep)
+        mq = jnp.round(cq.mean((1, 3))).astype(jnp.int32)
+        sad_dc_q = jnp.abs(cq - mq[:, None, :, None]).sum((1, 3))
+        cs = c.reshape(ynb // 4, 4 * ybsep, xnb // 4, 4 * xbsep)
+        ms = jnp.round(cs.mean((1, 3))).astype(jnp.int32)
+        sad_dc_s = jnp.abs(cs - ms[:, None, :, None]).sum((1, 3))
+
+        # unit DC values (chroma units = mean of block means)
+        def dcs(my, mu, mv_):
+            return (jnp.clip(my - 128, -128, 127),
+                    jnp.clip(mu - 128, -128, 127),
+                    jnp.clip(mv_ - 128, -128, 127))
+
+        d0, d1, d2 = dcs(mean_y, mean_u, mean_v)
+        d0q, d1q, d2q = dcs(mq, iavg(pool2(mean_u), 4), iavg(pool2(mean_v), 4))
+        d0s, d1s, d2s = dcs(ms, iavg(pool2(pool2(mean_u)), 16),
+                            iavg(pool2(pool2(mean_v)), 16))
+
+        # per-granularity mode (integer form of sad_dc * 1.1 < sad_mc)
+        mc2 = (sad_dc * 11 < sad_mc * 10).astype(jnp.int32)
+        mcq = (sad_dc_q * 11 < sad_q * 10).astype(jnp.int32)
+        mcs = (sad_dc_s * 11 < sad_s * 10).astype(jnp.int32)
+
+        sdy_b, sdx_b = e4(sdy), e4(sdx)
+        bits2 = 1 + jnp.where(mc2 == 1,
+                              sbits(dy - sdy_b) + sbits(dx - sdx_b),
+                              sbits(d0) + sbits(d1) + sbits(d2))
+        sdy_q, sdx_q = e2(sdy), e2(sdx)  # super grid -> quad grid
+        bits1 = 1 + jnp.where(mcq == 1,
+                              sbits(qdy - sdy_q) + sbits(qdx - sdx_q),
+                              sbits(d0q) + sbits(d1q) + sbits(d2q))
+        bits0 = 1 + jnp.where(mcs == 1, sbits(sdy) + sbits(sdx),
+                              sbits(d0s) + sbits(d1s) + sbits(d2s))
+
+        dist2 = jnp.where(mc2 == 1, sad_mc.astype(f32),
+                          sad_dc.astype(f32) * 1.1)
+        dist1 = jnp.where(mcq == 1, sad_q.astype(f32),
+                          sad_dc_q.astype(f32) * 1.1)
+        dist0 = jnp.where(mcs == 1, sad_s.astype(f32),
+                          sad_dc_s.astype(f32) * 1.1)
+
+        cost2 = pool2(pool2(dist2 + lam * bits2))
+        cost1 = pool2(dist1 + lam * bits1)
+        cost0 = dist0 + lam * bits0
+        split_sb = jnp.argmin(jnp.stack([cost0, cost1, cost2]),
+                              axis=0).astype(jnp.int32)
+
+        sb = e4(split_sb)
+
+        def sel(blk, quad, sup):
+            return jnp.where(sb == 2, blk,
+                             jnp.where(sb == 1, e2(quad), e4(sup)))
+
+        mc = sel(mc2, mcq, mcs)
+        zero = jnp.zeros((ynb, xnb), jnp.int32)
+        return {
+            "split": sb,
+            "pred_mode": mc,
+            "using_global": zero,
+            "dx1": sel(dx, qdx, sdx) * mc,
+            "dy1": sel(dy, qdy, sdy) * mc,
+            "dx2": zero,
+            "dy2": zero,
+            "dc0": sel(d0, d0q, d0s) * (1 - mc),
+            "dc1": sel(d1, d1q, d1s) * (1 - mc),
+            "dc2": sel(d2, d2q, d2s) * (1 - mc),
+        }
+
+    return body
+
+
 _P_FIELD_ORDER = ("split", "pred_mode", "using_global", "dx1", "dy1",
                   "dx2", "dy2", "dc0", "dc1", "dc2")
 
@@ -396,6 +541,7 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False):
     subpel_body = (me_mod.make_subpel_body(
         ph0, pw0, p.xbsep_luma, p.ybsep_luma, xnb, ynb,
         p.mv_precision) if p.mv_precision > 0 else None)
+    rd_split_body = make_rd_split_body(p)
     render_body = obmc.make_render_body(p, 1)
 
     # single-RPC wire format: the axon tunnel charges high per-transfer
@@ -421,24 +567,14 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False):
                               p.xbsep_luma >> h_shift, ynb, xnb)
         if subpel_body is not None:
             dy, dx, sad_mc = subpel_body(y, up_y, dy, dx)
-        # mode decision: integer form of sad_dc * 1.1 < sad_mc
-        mc = jnp.where(sad_dc * 11 < sad_mc * 10, 1, 0).astype(jnp.int32)
-        zero = jnp.zeros((ynb, xnb), jnp.int32)
-        fields = {
-            "pred_mode": mc,
-            "using_global": zero,
-            "dx1": (dx * mc).astype(jnp.int32),
-            "dy1": (dy * mc).astype(jnp.int32),
-            "dx2": zero,
-            "dy2": zero,
-            "dc0": (jnp.clip(mean_y - 128, -128, 127) * (1 - mc)),
-            "dc1": (jnp.clip(mean_u - 128, -128, 127) * (1 - mc)),
-            "dc2": (jnp.clip(mean_v - 128, -128, 127) * (1 - mc)),
-        }
-        keys = jnp.stack([fields[k] for k in
-                          ("pred_mode", "dx1", "dy1", "dc0", "dc1", "dc2")],
-                         axis=-1)
-        fields["split"] = _derive_splits_dev(keys, ynb, xnb)
+        # RD split + mode search (schro_mode_decision analog): lambda
+        # scales with the quant step (QF/4), ~step/2 SAD per bit
+        lam = QF[jnp.max(qi_bands)].astype(jnp.float32) / 8.0
+        cpad = jnp.pad(y, ((0, p.ybsep_luma * ynb - y.shape[0]),
+                           (0, p.xbsep_luma * xnb - y.shape[1])),
+                       mode="edge").astype(jnp.int32)
+        fields = rd_split_body(cpad, ref_y, dy, dx, sad_mc, sad_dc,
+                               mean_y, mean_u, mean_v, lam)
 
         preds = render_body(fields, (up_y, up_u, up_v), None)
 
