@@ -121,3 +121,52 @@ def test_global_motion_self_consistent():
     xs = np.clip(np.arange(W)[None, :] + 8, 0, W - 1)
     expected = recon_y[ys, xs]
     np.testing.assert_array_equal(np.asarray(mine[1][0]).astype(int), expected)
+
+
+def test_global_estimation_recovers_affine():
+    """fit_affine_mv_field + estimate_global_motion recover a synthetic
+    affine MV field (pan + zoom + rotation) despite noise and outliers,
+    and the coded GlobalMotion reproduces the field through the renderer's
+    exact fixed-point formula (ops/obmc.global_vectors)."""
+    from schroedinger_tpu.encoder.globalest import estimate_global_motion
+    from schroedinger_tpu.ops import obmc
+    from schroedinger_tpu.video_format import ChromaFormat, VideoFormat
+
+    vf = VideoFormat(width=192, height=160, clean_width=192, clean_height=160,
+                     chroma_format=ChromaFormat.C420)
+    p = Params(video_format=vf, num_refs=1, transform_depth=3)
+    p.set_default_codeblocks()
+    p.mv_precision = 1
+    xnb, ynb = p.x_num_blocks, p.y_num_blocks
+
+    # ground truth, prec units per pixel: pan (6, -3) + slight zoom/rotate
+    b0, b1 = 6.0, -3.0
+    m = np.array([[0.010, 0.004], [-0.004, 0.010]])
+    ii, jj = np.meshgrid(np.arange(xnb), np.arange(ynb))
+    xs = ii * p.xbsep_luma + p.xbsep_luma // 2
+    ys = jj * p.ybsep_luma + p.ybsep_luma // 2
+    dx_true = b0 + m[0, 0] * xs + m[0, 1] * ys
+    dy_true = b1 + m[1, 0] * xs + m[1, 1] * ys
+
+    rng = np.random.default_rng(3)
+    dx = np.rint(dx_true + rng.normal(0, 0.3, dx_true.shape)).astype(np.int32)
+    dy = np.rint(dy_true + rng.normal(0, 0.3, dy_true.shape)).astype(np.int32)
+    # 10% gross outliers + some DC blocks that must be ignored
+    out = rng.random(dx.shape) < 0.10
+    dx = np.where(out, rng.integers(-40, 40, dx.shape), dx)
+    dy = np.where(out, rng.integers(-40, 40, dy.shape), dy)
+    mode = np.ones((ynb, xnb), np.int32)
+    mode[::5, ::3] = 0
+
+    gm = estimate_global_motion(
+        {"dx1": dx, "dy1": dy, "pred_mode": mode}, p, ref=1)
+
+    gmk = (gm.b0, gm.b1, gm.a_exp, gm.a00, gm.a01, gm.a10, gm.a11,
+           gm.c_exp, gm.c0, gm.c1)
+    gdx, gdy = obmc.global_vectors(
+        gmk, np.asarray(xs, np.int64), np.asarray(ys, np.int64))
+    err_x = np.abs(np.asarray(gdx) - dx_true)
+    err_y = np.abs(np.asarray(gdy) - dy_true)
+    assert err_x.mean() < 1.0 and err_y.mean() < 1.0, \
+        (err_x.mean(), err_y.mean())
+    assert err_x.max() < 3.0 and err_y.max() < 3.0
