@@ -70,6 +70,7 @@ class GopEncoder:
         self.qengine = quantiser_engine
         self.pipeline_depth = pipeline_depth
         self._bbuf = []  # buffered (num, planes) awaiting the next reference
+        self._last_stats = None  # newest finished frame's (bits61, err61)
         self.rc = None
         if bitrate:
             from schroedinger_tpu.encoder.ratecontrol import CbrController
@@ -159,15 +160,21 @@ class GopEncoder:
         """Encode a sequence with device/host pipelining: the fused P-step
         of frame N+1 is dispatched (XLA queues it asynchronously) before the
         host entropy coding of frame N runs, so TPU compute and C++ arith
-        coding overlap.  Falls back to the serial path when CBR or B-frames
-        need same-frame feedback."""
+        coding overlap.
+
+        CBR and the quantiser engines stay pipelined: each P frame's quant
+        choice uses the newest *finished* frame's stat tables (feedback lag
+        = pipeline depth, the analog of the reference's strictly-ordered
+        quant_slot chain, schroencoder.c:2110-2142, traded for overlap; the
+        buffer model absorbs the lag).  Only B-frame buffering falls back
+        to the serial path (the tworef engine supersedes it)."""
         from schroedinger_tpu.encoder import inter as ei_inter
         if self.field_factor == 2:
             from schroedinger_tpu import frontends as ff
             frames = [fld for fr in frames
                       for fld in ff.split_fields(fr, self.vf.top_field_first)]
         out = bytearray()
-        if self.rc is not None or self.b_frames:
+        if self.b_frames:
             for f in frames:
                 out += self._encode_one(f)
             out += self.flush()
@@ -179,11 +186,7 @@ class GopEncoder:
         # device, so depth only delays host entropy coding, not refs)
         from collections import deque
         depth = int(self.pipeline_depth)
-        if self.qengine is not None:
-            # the quantiser engine consumes each frame's stat tables with a
-            # one-frame lag; deeper pipelining would start frames before any
-            # stats ever arrive (pick() would stay None for the whole run)
-            depth = 0
+        want_stats = (self.qengine is not None) or (self.rc is not None)
         pends = deque()  # (pending dict, (num, ref_num, retired, sc_score))
         for planes in frames:
             num = self.frame_number
@@ -200,14 +203,22 @@ class GopEncoder:
                 continue
 
             p = self._params(1)
-            qi_over = self.qengine.pick() if self.qengine else None
+            if want_stats and self._last_stats is None and pends:
+                # no stat feedback yet (stream start): drain the oldest
+                # in-flight frame so the engine engages from the 2nd P
+                out += self._finish_pending(pends.popleft())
+            qi_over = None
+            if self.qengine is not None:
+                qi_over = self.qengine.pick()
+            elif self.rc is not None:
+                qi_over = self._cbr_pick(p)
             meta = (num, self.last_ref, self.prev_ref, sc)
             pending = ei_inter.start_inter_picture(
                 planes, p, self.ref_frames[self.last_ref],
                 base_qi=self.base_qi_inter,
                 use_phasecorr=self.enable_phasecorr,
                 qi_bands_override=qi_over,
-                want_stats=self.qengine is not None)
+                want_stats=want_stats)
             if pends:
                 ei_inter.prefetch_pending(pends[-1][0])
             # the new recon/upsample device handles become the reference
@@ -227,6 +238,21 @@ class GopEncoder:
         out += self._chain.add([bs.make_eos_unit()], final_eos=True)
         return bytes(out)
 
+    def _cbr_pick(self, p: Params):
+        """Per-band quant indices for the next P frame from the newest
+        finished frame's stat tables (None before any stats exist -> the
+        constant base_qi fallback inside start_inter_picture)."""
+        stats = self._last_stats
+        if stats is None:
+            return None
+        from schroedinger_tpu.encoder.ratecontrol import pick_base_from_stats
+        nb = subband_count(p.transform_depth)
+        qm = np.asarray(p.quant_matrix[:nb], np.int32)
+        base = pick_base_from_stats(stats[0], qm,
+                                    self.rc.frame_target(False),
+                                    correction=self.rc.correction)
+        return np.clip(base - qm, 0, 60).astype(np.int32)
+
     def _finish_pending(self, pend) -> bytes:
         from schroedinger_tpu.encoder import inter as ei_inter
         pending, (num, ref_num, retired, sc) = pend
@@ -235,6 +261,13 @@ class GopEncoder:
                                                     retired=retired)
         if self.qengine:
             self.qengine.update(stats)
+        if stats is not None:
+            self._last_stats = stats
+        if self.rc is not None:
+            from schroedinger_tpu.encoder.ratecontrol import estimate_bits_at
+            est = (estimate_bits_at(stats[0], pending["qi_bands"])
+                   if stats is not None else None)
+            self.rc.update(len(unit) * 8, est)
         units = []
         if self.enable_md5:
             from schroedinger_tpu.coding import native as _native
@@ -252,7 +285,7 @@ class GopEncoder:
         p = self._params(2)
         target = None
         if self.rc:
-            target = int(self.rc.frame_target(False) * 0.6)
+            target = self.rc.frame_target(kind="B")
         unit = encode_b_picture(planes, p, num, ref1_num,
                                 self.ref_frames[ref1_num], ref2_num,
                                 self.ref_frames[ref2_num],

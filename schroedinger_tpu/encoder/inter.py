@@ -485,6 +485,169 @@ def make_rd_split_body(p: Params):
     return body
 
 
+def make_rd_split_body2(p: Params):
+    """Two-reference RD split + mode search (the tworef-engine analog of
+    make_rd_split_body; candidate modes DC/ref1/ref2/biref as the
+    reference's schro_mode_decision over SchroMotionField per mode,
+    schromotionest.c:520-695).
+
+    body(c, P1, P2, dy1, dx1, sad1, dy2, dx2, sad2, sad_dc,
+         mean_y, mean_u, mean_v, lam) -> MV-field dict
+    where c is the edge-padded int32 luma on the block grid, P1/P2 are the
+    margin-padded pel references, dyN/dxN per-block MVs in subpel units
+    with per-ref SADs from the subpel refine.  Mode selection happens at
+    all three granularities; distortion for aggregate vectors and for the
+    biref average is measured at full pel (decision heuristic; coded MVs
+    keep subpel precision)."""
+    ynb, xnb = p.y_num_blocks, p.x_num_blocks
+    ybsep, xbsep = p.ybsep_luma, p.xbsep_luma
+    prec = p.mv_precision
+    margin = me_mod.ME_BOUND_PEL + 16
+    B = me_mod.ME_BOUND_PEL
+
+    def pool2(a):
+        return a.reshape(a.shape[0] // 2, 2, a.shape[1] // 2, 2).sum((1, 3))
+
+    def iavg(a, n):
+        return jnp.round(a.astype(jnp.float32) / n).astype(jnp.int32)
+
+    def sbits(v):
+        m = jnp.abs(v.astype(jnp.int32))
+        n = 32 - jax.lax.clz(m + 1)
+        return (2 * n - 1 + (m != 0)).astype(jnp.float32)
+
+    def e2(a):
+        return jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+
+    def e4(a):
+        return jnp.repeat(jnp.repeat(a, 4, 0), 4, 1)
+
+    def to_fullpel(v):
+        if prec == 0:
+            return v
+        return jnp.round(v.astype(jnp.float32) / (1 << prec)).astype(jnp.int32)
+
+    def body(c, P1, P2, dy1, dx1, sad1, dy2, dx2, sad2, sad_dc,
+             mean_y, mean_u, mean_v, lam):
+        f32 = jnp.float32
+
+        def clipf(v):
+            return jnp.clip(to_fullpel(v), -B, B)
+
+        # current blocks at the three granularities
+        cb2 = me_mod._to_blocks(c, ynb, ybsep, xnb, xbsep)
+        cb1 = me_mod._to_blocks(c, ynb // 2, 2 * ybsep, xnb // 2, 2 * xbsep)
+        cb0 = me_mod._to_blocks(c, ynb // 4, 4 * ybsep, xnb // 4, 4 * xbsep)
+
+        def gran_sads(dy, dx, P):
+            """(quad, super) MC SADs of aggregated vectors vs ref P."""
+            qdy, qdx = iavg(pool2(dy), 4), iavg(pool2(dx), 4)
+            sdy, sdx = iavg(pool2(pool2(dy)), 16), iavg(pool2(pool2(dx)), 16)
+            _, _, sq = me_mod._patch_refine(
+                cb1, P, clipf(qdy), clipf(qdx), ynb // 2, xnb // 2,
+                2 * ybsep, 2 * xbsep, 0, margin)
+            _, _, ss = me_mod._patch_refine(
+                cb0, P, clipf(sdy), clipf(sdx), ynb // 4, xnb // 4,
+                4 * ybsep, 4 * xbsep, 0, margin)
+            return (qdy, qdx, sq), (sdy, sdx, ss)
+
+        (q1y, q1x, sad1_q), (s1y, s1x, sad1_s) = gran_sads(dy1, dx1, P1)
+        (q2y, q2x, sad2_q), (s2y, s2x, sad2_s) = gran_sads(dy2, dx2, P2)
+
+        def bi_sad(cb, m1y, m1x, m2y, m2x, nby, nbx, bs_y, bs_x):
+            p1 = me_mod._extract_ref_patches(P1, clipf(m1y), clipf(m1x),
+                                             nby, nbx, bs_y, bs_x, 0, margin)
+            p2 = me_mod._extract_ref_patches(P2, clipf(m2y), clipf(m2x),
+                                             nby, nbx, bs_y, bs_x, 0, margin)
+            avg = (p1[:, :bs_y, :bs_x] + p2[:, :bs_y, :bs_x] + 1) >> 1
+            return jnp.abs(cb - avg).sum((1, 2)).reshape(nby, nbx)
+
+        sad_bi = bi_sad(cb2, dy1, dx1, dy2, dx2, ynb, xnb, ybsep, xbsep)
+        sad_bi_q = bi_sad(cb1, q1y, q1x, q2y, q2x, ynb // 2, xnb // 2,
+                          2 * ybsep, 2 * xbsep)
+        sad_bi_s = bi_sad(cb0, s1y, s1x, s2y, s2x, ynb // 4, xnb // 4,
+                          4 * ybsep, 4 * xbsep)
+
+        # DC SADs at quad / superblock granularity
+        cq = c.reshape(ynb // 2, 2 * ybsep, xnb // 2, 2 * xbsep)
+        mq = jnp.round(cq.mean((1, 3))).astype(jnp.int32)
+        sad_dc_q = jnp.abs(cq - mq[:, None, :, None]).sum((1, 3))
+        cs = c.reshape(ynb // 4, 4 * ybsep, xnb // 4, 4 * xbsep)
+        ms = jnp.round(cs.mean((1, 3))).astype(jnp.int32)
+        sad_dc_s = jnp.abs(cs - ms[:, None, :, None]).sum((1, 3))
+
+        def dcs(my, mu, mv_):
+            return (jnp.clip(my - 128, -128, 127),
+                    jnp.clip(mu - 128, -128, 127),
+                    jnp.clip(mv_ - 128, -128, 127))
+
+        d = dcs(mean_y, mean_u, mean_v)
+        dq = dcs(mq, iavg(pool2(mean_u), 4), iavg(pool2(mean_v), 4))
+        ds = dcs(ms, iavg(pool2(pool2(mean_u)), 16),
+                 iavg(pool2(pool2(mean_v)), 16))
+
+        # predicted-vector stand-in: superblock mean per ref
+        s1y_b, s1x_b = e4(s1y), e4(s1x)
+        s2y_b, s2x_b = e4(s2y), e4(s2x)
+
+        def mode_cost(sdc, sr1, sr2, sbi, bits_dc, bits_r1, bits_r2, lam_):
+            """4-way mode pick; returns (mode, dist, bits)."""
+            c_dc = sdc.astype(f32) * 1.1 + lam_ * bits_dc
+            c_r1 = sr1.astype(f32) + lam_ * bits_r1
+            c_r2 = sr2.astype(f32) + lam_ * bits_r2
+            c_bi = sbi.astype(f32) * 0.95 + lam_ * (bits_r1 + bits_r2)
+            costs = jnp.stack([c_dc, c_r1, c_r2, c_bi])
+            mode = jnp.argmin(costs, axis=0).astype(jnp.int32)
+            return mode, jnp.min(costs, axis=0)
+
+        bits_dc2 = 2 + sbits(d[0]) + sbits(d[1]) + sbits(d[2])
+        bits_r1_2 = 2 + sbits(dy1 - s1y_b) + sbits(dx1 - s1x_b)
+        bits_r2_2 = 2 + sbits(dy2 - s2y_b) + sbits(dx2 - s2x_b)
+        mode2, cost2 = mode_cost(sad_dc, sad1, sad2, sad_bi,
+                                 bits_dc2, bits_r1_2, bits_r2_2, lam)
+
+        bits_dc1 = 2 + sbits(dq[0]) + sbits(dq[1]) + sbits(dq[2])
+        bits_r1_1 = 2 + sbits(q1y - e2(s1y)) + sbits(q1x - e2(s1x))
+        bits_r2_1 = 2 + sbits(q2y - e2(s2y)) + sbits(q2x - e2(s2x))
+        mode1, cost1 = mode_cost(sad_dc_q, sad1_q, sad2_q, sad_bi_q,
+                                 bits_dc1, bits_r1_1, bits_r2_1, lam)
+
+        bits_dc0 = 2 + sbits(ds[0]) + sbits(ds[1]) + sbits(ds[2])
+        bits_r1_0 = 2 + sbits(s1y) + sbits(s1x)
+        bits_r2_0 = 2 + sbits(s2y) + sbits(s2x)
+        mode0, cost0 = mode_cost(sad_dc_s, sad1_s, sad2_s, sad_bi_s,
+                                 bits_dc0, bits_r1_0, bits_r2_0, lam)
+
+        split_sb = jnp.argmin(jnp.stack([cost0, pool2(cost1),
+                                         pool2(pool2(cost2))]),
+                              axis=0).astype(jnp.int32)
+        sb = e4(split_sb)
+
+        def sel(blk, quad, sup):
+            return jnp.where(sb == 2, blk,
+                             jnp.where(sb == 1, e2(quad), e4(sup)))
+
+        mode = sel(mode2, mode1, mode0)
+        use1 = ((mode & 1) != 0).astype(jnp.int32)
+        use2 = ((mode & 2) != 0).astype(jnp.int32)
+        is_dc = (mode == 0).astype(jnp.int32)
+        zero = jnp.zeros((ynb, xnb), jnp.int32)
+        return {
+            "split": sb,
+            "pred_mode": mode,
+            "using_global": zero,
+            "dx1": sel(dx1, q1x, s1x) * use1,
+            "dy1": sel(dy1, q1y, s1y) * use1,
+            "dx2": sel(dx2, q2x, s2x) * use2,
+            "dy2": sel(dy2, q2y, s2y) * use2,
+            "dc0": sel(d[0], dq[0], ds[0]) * is_dc,
+            "dc1": sel(d[1], dq[1], ds[1]) * is_dc,
+            "dc2": sel(d[2], dq[2], ds[2]) * is_dc,
+        }
+
+    return body
+
+
 _P_FIELD_ORDER = ("split", "pred_mode", "using_global", "dx1", "dy1",
                   "dx2", "dy2", "dc0", "dc1", "dc2")
 
@@ -619,16 +782,13 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False):
             outr.append(jnp.clip(rec, 0, 255).astype(jnp.uint8))
 
         if want_stats:
-            # 61-way per-subband (bits, sq-error) estimates for the
-            # constant-lambda/-error quantiser engines (exact-stat analog
-            # of schroquantiser.c's estimate tables, :419-520).  Per-band
+            # 61-way per-subband (bits, sq-error) estimates, indexed by the
+            # ACTUAL quant index (row q = stats of coding that band at qi=q),
+            # for the quantiser engines and CBR (exact-stat analog of
+            # schroquantiser.c's estimate tables, :419-520).  Per-band
             # sums use STATIC slicing, not segment_sum — scatter ops
             # serialise terribly on TPU.
-            qmj = jnp.asarray(qm)
             allflat = jnp.concatenate(rc_flat).astype(jnp.int32)
-            qmo = jnp.concatenate(
-                [jnp.repeat(qmj, sizes, total_repeat_length=int(sizes.sum()))
-                 for sizes in sizes3])
             # band boundaries within the concatenated flat (3 comps)
             bounds = []
             off = 0
@@ -639,9 +799,8 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False):
 
             def one(base):
                 from schroedinger_tpu.encoder.ratecontrol import _sint_bits
-                qi = jnp.clip(base - qmo, 0, 60)
-                qqq = q.quantise(allflat, QF[qi], QO[qi])
-                dqq = q.dequantise(qqq, QF[qi], QO[qi])
+                qqq = q.quantise(allflat, QF[base], QO[base])
+                dqq = q.dequantise(qqq, QF[base], QO[base])
                 b = _sint_bits(qqq).astype(jnp.float32)
                 e = jnp.square((allflat - dqq).astype(jnp.float32))
                 bsum = [jnp.float32(0)] * nb

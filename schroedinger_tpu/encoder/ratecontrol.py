@@ -77,34 +77,93 @@ def pick_base_qi(band_lists, p: Params, target_bits: int,
     return int(fits[0])
 
 
+def pick_base_from_stats(bits61, qm, target_bits: float,
+                         correction: float = 1.0) -> int:
+    """Smallest base quant index whose estimated frame bits fit the target.
+
+    bits61: (61, nb) per-band coded-bit estimates indexed by ACTUAL quant
+    index (the fused P-step's stat tables); qm: (nb,) quant-matrix offsets.
+    The per-base frame estimate applies the matrix the same way the coder
+    will (qi = clip(base - qm)), so the pick and the coded stream agree.
+    """
+    bits61 = np.asarray(bits61, np.float64)
+    nb = bits61.shape[1]
+    qis = np.clip(np.arange(61)[:, None] - np.asarray(qm)[None, :], 0, 60)
+    totals = bits61[qis, np.arange(nb)[None, :]].sum(axis=1) * correction
+    fits = np.nonzero(totals <= target_bits)[0]
+    return int(fits[0]) if len(fits) else 60
+
+
+def estimate_bits_at(bits61, qi_bands) -> float:
+    """Frame-bit estimate of coding each band at qi_bands from the
+    actual-qi-indexed stat table."""
+    bits61 = np.asarray(bits61, np.float64)
+    nb = bits61.shape[1]
+    return float(bits61[np.asarray(qi_bands), np.arange(nb)].sum())
+
+
 class CbrController:
-    """Leaky-bucket CBR: per-frame bit targets with buffer feedback and an
-    online arith-vs-estimate correction (EMA 0.9/0.1 as the reference)."""
+    """Reference-grade CBR bit reservoir (schroencoder.c:183-545).
+
+    Allocation follows schro_encoder_calculate_allocation / get_alloc
+    (schroengine.c:552-637): per-picture requested bits = bits_per_picture
+    * picture_weight * allocation_scale, passed through the buffer-aware
+    exponential curve so the allocation never exceeds what the reservoir
+    holds and must-spend bits (level about to overflow) are always spent.
+    Level update mirrors schroencoder.c:2592-2615 (underrun clamps to 0;
+    overrun clamps to buffer_size — the reference pads the stream there,
+    we simply leave the reservoir full).  Picture weights default to the
+    reference's magic_keyframe_weight 7.5 / magic_inter_p_weight 1.5 /
+    magic_inter_b_weight 0.2 with magic_allocation_scale 1.1
+    (schroencoder.c:4520-4525); buffer_size/buffer_level settings follow
+    schro_encoder_init_rc_buffer (buffer_size 0 -> 3s of bitrate, level 0
+    -> start full).  The arith-vs-estimate correction is the reference's
+    online EMA 0.9/0.1 (schroencoder.c:2548-2590).
+    """
 
     def __init__(self, bitrate: int, fps: float, gop_length: int,
-                 intra_weight: float = 4.0, buffer_frames: float = 8.0):
-        self.bits_per_frame = bitrate / fps
+                 buffer_size: int = 0, buffer_level: int = 0,
+                 interlaced: bool = False,
+                 keyframe_weight: float = 7.5,
+                 inter_p_weight: float = 1.5,
+                 inter_b_weight: float = 0.2,
+                 allocation_scale: float = 1.1):
+        self.bitrate = bitrate
         self.gop_length = gop_length
-        self.intra_weight = intra_weight
-        self.buffer_size = self.bits_per_frame * buffer_frames
-        self.buffer_level = self.buffer_size / 2
+        self.buffer_size = buffer_size if buffer_size else 3 * bitrate
+        self.buffer_level = buffer_level if buffer_level \
+            else self.buffer_size
+        self.bits_per_picture = bitrate / fps / (2 if interlaced else 1)
+        self.weights = {"I": keyframe_weight, "P": inter_p_weight,
+                        "B": inter_b_weight}
+        self.allocation_scale = allocation_scale
         self.correction = 1.0
-        n_inter = gop_length - 1
-        total_w = intra_weight + n_inter
-        self.intra_target = self.bits_per_frame * gop_length * \
-            intra_weight / total_w
-        self.inter_target = self.bits_per_frame * gop_length / total_w
 
-    def frame_target(self, is_intra: bool) -> int:
-        base = self.intra_target if is_intra else self.inter_target
-        # buffer feedback: spend more when the buffer is full
-        fullness = self.buffer_level / self.buffer_size
-        adj = 0.5 + fullness
-        return max(1000, int(base * adj))
+    # backward-compatible: frame_target(True) == intra, (False) == P
+    def frame_target(self, is_intra: bool = False, kind: str | None = None,
+                     extra_weight: float = 0.0) -> int:
+        """Allocated bits for the next picture (get_alloc analog).
 
-    def update(self, actual_bits: int, estimated_bits: int | None = None):
-        self.buffer_level += self.bits_per_frame - actual_bits
-        self.buffer_level = min(max(self.buffer_level, 0.0), self.buffer_size)
+        kind: "I"/"P"/"B" (overrides is_intra); extra_weight: additive
+        weight term (the reference's badblock_ratio * magic multipliers)."""
+        if kind is None:
+            kind = "I" if is_intra else "P"
+        w = self.weights[kind] + extra_weight
+        requested = self.bits_per_picture * w * self.allocation_scale
+        must_use = max(
+            0.0, self.buffer_level + self.bits_per_picture - self.buffer_size)
+        denom = max(1.0, self.buffer_size - self.bits_per_picture)
+        x = max(0.0, requested - must_use) / denom
+        y = 1.0 - np.exp(-x)
+        alloc = must_use + (self.buffer_level - must_use) * y
+        return max(1000, int(alloc))
+
+    def update(self, actual_bits: int, estimated_bits: float | None = None):
+        self.buffer_level += self.bits_per_picture - actual_bits
+        if self.buffer_level < 0:
+            self.buffer_level = 0.0      # underrun (schroencoder.c:2599)
+        if self.buffer_level > self.buffer_size:
+            self.buffer_level = float(self.buffer_size)  # ref pads here
         if estimated_bits and estimated_bits > 200:
             ratio = actual_bits / estimated_bits
             self.correction = 0.9 * self.correction + 0.1 * ratio
