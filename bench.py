@@ -1,14 +1,15 @@
-"""Benchmark: 1080p25 Dirac long-GOP encode, frames/s vs reference.
+"""Benchmark: 1080p25 Dirac long-GOP CBR encode at matched bitrate.
 
-This is the BASELINE.md north-star config ("Dirac long-GOP 1080p25,
-hier-BM + OBMC, CBR/constant-quality": >=3x reference single-core
-frames/s per chip).  Prints ONE JSON line:
-  {"metric", "value", "unit", "vs_baseline"}
-vs_baseline = our steady-state frames/s divided by the reference encoder's
-single-core frames/s (oracle build, same content, long-GOP backref
-structure, SCHRO_THREADS=1) measured on this machine.
+BASELINE.md north-star config 3 ("Dirac long-GOP 1080p25, hier-BM + OBMC,
+GOP=24, CBR": >=3x reference single-core frames/s per chip AT FIXED PSNR).
+Both encoders run CBR at the same bitrate with the same GOP structure
+(backref, GOP 24) on the same content; the JSON line reports our
+steady-state frames/s, the fps ratio, and the decoded PSNR of both
+streams so the speedup is a fixed-quality claim (the reference's own
+methodology, misc/benchenc:27-30, pinned to one core via SCHRO_THREADS=1).
 
-Side diagnostics (stream sizes, low-delay fps) go to stderr only.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", ...diagnostics}
 """
 import json
 import os
@@ -18,9 +19,13 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("SCHRO_THREADS", "1")   # oracle single core
 
 W, H = 1920, 1080
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "10"))
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "50"))
+BITRATE = int(os.environ.get("BENCH_BITRATE", "8000000"))
+GOP = 24
+FPS = 25
 
 
 def log(msg):
@@ -42,16 +47,26 @@ def make_frames(n):
     return frames
 
 
+def mean_psnr(decoded, frames):
+    vals = []
+    for g3, o3 in zip(decoded, frames):
+        mse = np.mean((g3[0].astype(np.float64) - o3[0].astype(np.float64))
+                      ** 2)
+        vals.append(99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse))
+    return float(np.mean(vals))
+
+
 def bench_ours(frames):
     from schroedinger_tpu.encoder.gop import GopEncoder
     from schroedinger_tpu.video_format import ChromaFormat, VideoFormat
 
     vf = VideoFormat(width=W, height=H, clean_width=W, clean_height=H,
                      chroma_format=ChromaFormat.C420,
-                     frame_rate_numerator=25, frame_rate_denominator=1)
+                     frame_rate_numerator=FPS, frame_rate_denominator=1)
 
     def enc():
-        return GopEncoder(vf, gop_length=100, mv_precision=2)
+        return GopEncoder(vf, gop_length=GOP, mv_precision=2,
+                          bitrate=BITRATE, fps=FPS)
 
     t0 = time.perf_counter()
     enc().encode_stream(frames[:2])   # compile warm-up (intra + P step)
@@ -60,35 +75,57 @@ def bench_ours(frames):
     t0 = time.perf_counter()
     out = g.encode_stream(frames)
     dt = time.perf_counter() - t0
-    log(f"ours long-GOP: {len(frames)/dt:.3f} fps "
+    log(f"ours long-GOP CBR: {len(frames)/dt:.3f} fps "
         f"({dt/len(frames)*1000:.0f} ms/frame), {len(out)} bytes")
-    return len(frames) / dt
+    return len(frames) / dt, out
 
 
 def bench_oracle(frames):
     from oracle import schro_oracle as so
     t0 = time.perf_counter()
     out = so.encode(frames, W, H,
-                    settings={"gop_structure": 2, "queue_depth": 1})
+                    settings={"gop_structure": 2, "queue_depth": 1,
+                              "rate_control": 6, "bitrate": BITRATE,
+                              "au_distance": GOP})
     dt = time.perf_counter() - t0
-    log(f"oracle long-GOP (1 core): {len(frames)/dt:.3f} fps, "
+    log(f"oracle long-GOP CBR (1 core): {len(frames)/dt:.3f} fps, "
         f"{len(out)} bytes")
-    return len(frames) / dt
+    return len(frames) / dt, out
 
 
 def main():
     frames = make_frames(N_FRAMES)
-    ours = bench_ours(frames)
+    ours_fps, ours_stream = bench_ours(frames)
     try:
-        ref = bench_oracle(frames)
+        ref_fps, ref_stream = bench_oracle(frames)
     except Exception as e:
         log(f"oracle failed: {e!r}")
-        ref = float("nan")
+        ref_fps, ref_stream = float("nan"), b""
+
+    psnr_ours = psnr_ref = None
+    try:
+        from oracle import schro_oracle as so
+        psnr_ours = round(mean_psnr(so.decode(ours_stream, W, H), frames), 2)
+        if ref_stream:
+            psnr_ref = round(mean_psnr(so.decode(ref_stream, W, H),
+                                       frames), 2)
+        log(f"PSNR ours {psnr_ours} dB / oracle {psnr_ref} dB; "
+            f"bytes ours {len(ours_stream)} / oracle {len(ref_stream)}")
+    except Exception as e:
+        log(f"psnr check failed: {e!r}")
+
     print(json.dumps({
-        "metric": "longgop_1080p_encode",
-        "value": round(ours, 3),
+        "metric": "longgop_1080p_cbr_encode",
+        "value": round(ours_fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(ours / ref, 3) if ref == ref else None,
+        "vs_baseline": (round(ours_fps / ref_fps, 3)
+                        if ref_fps == ref_fps else None),
+        "psnr_ours_db": psnr_ours,
+        "psnr_ref_db": psnr_ref,
+        "bytes_ours": len(ours_stream),
+        "bytes_ref": len(ref_stream),
+        "bitrate": BITRATE,
+        "n_frames": N_FRAMES,
     }))
 
 

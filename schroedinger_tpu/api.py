@@ -156,9 +156,14 @@ class Encoder:
             bitrate=bitrate, fps=fps,
             enable_md5=self.cfg.enable_md5,
             mv_precision=self.cfg.mv_precision,
-            b_frames=(2 if self.cfg.gop_structure in ("biref",
-                                                      "chained_biref")
-                      else 0),
+            # adaptive maps to the tworef engine like the reference
+            # (schroencoder.c:599-604); lossless forces the backref
+            # handler (schroengine.c:991-995)
+            gop_structure=("biref" if not lossless
+                           and self.cfg.gop_structure in
+                           ("adaptive", "biref", "chained_biref")
+                           else "backref"),
+            subgroup_length=int(self.cfg.get("magic_subgroup_length")),
             enable_phasecorr=bool(
                 self.cfg.get("enable_phasecorr_estimation")),
             quantiser_engine=qengine)
@@ -200,7 +205,9 @@ class Encoder:
 
     def end_of_stream(self) -> bytes:
         if self._gop is not None:
-            return self._gop._chain.add([bs.make_eos_unit()], final_eos=True)
+            tail = self._gop.flush()
+            return tail + self._gop._chain.add([bs.make_eos_unit()],
+                                               final_eos=True)
         return self._chain.add([bs.make_eos_unit()], final_eos=True)
 
     def encode_stream(self, frames) -> bytes:

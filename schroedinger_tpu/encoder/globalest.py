@@ -78,8 +78,12 @@ def estimate_global_motion(mv_fields, p: Params, ref: int = 1) -> GlobalMotion:
     ys = (jj * p.ybsep_luma + p.ybsep_luma // 2).astype(np.float32)
     if use.sum() < 8:  # degenerate field: identity
         return GlobalMotion()
-    b0, b1, m00, m01, m10, m11, _ = fit_affine_mv_field(
+    b0, b1, m00, m01, m10, m11, inliers = fit_affine_mv_field(
         dyf[use], dxf[use], xs[use], ys[use])
+    sol = (b0, b1, m00, m01, m10, m11)
+    if inliers.sum() < 3 or not all(np.isfinite(v) for v in sol):
+        # outlier gate left a singular/near-collinear system: identity
+        return GlobalMotion()
 
     prec = p.mv_precision
     gm = GlobalMotion()

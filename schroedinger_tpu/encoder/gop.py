@@ -39,7 +39,12 @@ class GopEncoder:
                  enable_phasecorr: bool = False,
                  quantiser_engine=None,
                  stats=None,
-                 pipeline_depth: int = 3):
+                 pipeline_depth: int = 3,
+                 gop_structure: str = "backref",
+                 subgroup_length: int = 4,
+                 base_qi_b: Optional[int] = None,
+                 perceptual_weighting: str = "ccir959",
+                 perceptual_distance: float = 4.0):
         self.vf = video_format
         self.intra_wavelet = intra_wavelet
         self.inter_wavelet = inter_wavelet
@@ -71,10 +76,29 @@ class GopEncoder:
         self.pipeline_depth = pipeline_depth
         self._bbuf = []  # buffered (num, planes) awaiting the next reference
         self._last_stats = None  # newest finished frame's (bits61, err61)
+        self.gop_structure = gop_structure
+        self.subgroup_length = subgroup_length
+        self.base_qi_b = (base_qi_b if base_qi_b is not None
+                          else min(60, base_qi_inter + 4))
+        self._queue = []          # biref: display-order (num, planes, sc)
+        self._pends2 = None       # biref: coded-order pending deque
+        self._stats_by_kind = {}  # biref: newest stat tables per P/B
+        self._refbuf = {}         # biref: picture number -> expired flag
+        self._enc_last_ref = None  # mirrors encoder->last_ref
+        self._au_frame = None     # picture number of the last AU intra
+        self.perceptual_weighting = perceptual_weighting
+        self.perceptual_distance = perceptual_distance
         self.rc = None
         if bitrate:
-            from schroedinger_tpu.encoder.ratecontrol import CbrController
-            self.rc = CbrController(bitrate, fps, gop_length)
+            from schroedinger_tpu.encoder.ratecontrol import CbrControllerTM5
+            self.rc = CbrControllerTM5(
+                bitrate, fps, gop_length,
+                subgroup_length=(subgroup_length
+                                 if gop_structure == "biref" else 4),
+                interlaced=video_format.interlaced_coding)
+        if (self.qengine is not None
+                and getattr(self.qengine, "band_scales", None) is None):
+            self.qengine.band_scales = self._band_scales(False)
 
     def _params(self, num_refs: int) -> Params:
         p = Params(video_format=self.vf, num_refs=num_refs,
@@ -117,6 +141,24 @@ class GopEncoder:
         Interlaced coding: the frame splits into two field pictures
         (schro_encoder_push_frame_full, schroencoder.c:1072-1110) coded
         back to back; the second field predicts from the first."""
+        if self.gop_structure == "biref":
+            if self._pends2 is None:
+                from collections import deque
+                self._pends2 = deque()
+            out = bytearray()
+            if self.field_factor == 2:
+                from schroedinger_tpu import frontends as ff
+                flds = ff.split_fields(planes, tff=self.vf.top_field_first)
+            else:
+                flds = [planes]
+            for fld in flds:
+                num = self.frame_number
+                self.frame_number += 1
+                sc = (self._scene_change_score(fld)
+                      if self.enable_scene_change else 0.0)
+                self._queue.append((num, fld, sc))
+                out += self._drain_subgroups(final=False)
+            return bytes(out)
         if self.field_factor == 2:
             from schroedinger_tpu import frontends as ff
             f1, f2 = ff.split_fields(planes, tff=self.vf.top_field_first)
@@ -149,8 +191,14 @@ class GopEncoder:
         return bytes(out)
 
     def flush(self) -> bytes:
-        """Encode any buffered frames (trailing, no future ref) as P."""
+        """Encode any buffered frames (trailing, no future ref)."""
         out = bytearray()
+        if self.gop_structure == "biref":
+            if self._pends2 is not None:
+                out += self._drain_subgroups(final=True)
+                while self._pends2:
+                    out += self._finish_pending2(self._pends2.popleft())
+            return bytes(out)
         for bnum, bplanes in self._bbuf:
             out += self._encode_ref(bplanes, bnum, False, 0.0)
         self._bbuf = []
@@ -169,6 +217,8 @@ class GopEncoder:
         buffer model absorbs the lag).  Only B-frame buffering falls back
         to the serial path (the tworef engine supersedes it)."""
         from schroedinger_tpu.encoder import inter as ei_inter
+        if self.gop_structure == "biref":
+            return self._encode_stream_biref(frames)
         if self.field_factor == 2:
             from schroedinger_tpu import frontends as ff
             frames = [fld for fr in frames
@@ -186,7 +236,6 @@ class GopEncoder:
         # device, so depth only delays host entropy coding, not refs)
         from collections import deque
         depth = int(self.pipeline_depth)
-        want_stats = (self.qengine is not None) or (self.rc is not None)
         pends = deque()  # (pending dict, (num, ref_num, retired, sc_score))
         for planes in frames:
             num = self.frame_number
@@ -203,22 +252,19 @@ class GopEncoder:
                 continue
 
             p = self._params(1)
-            if want_stats and self._last_stats is None and pends:
-                # no stat feedback yet (stream start): drain the oldest
-                # in-flight frame so the engine engages from the 2nd P
+            qargs = self._quant_args("P", p)
+            if (qargs.get("want_stats")
+                    and qargs.get("qi_bands_override") is None and pends):
+                # lagged-pick engine with no stat feedback yet (stream
+                # start): drain the oldest in-flight frame so the engine
+                # engages from the 2nd P
                 out += self._finish_pending(pends.popleft())
-            qi_over = None
-            if self.qengine is not None:
-                qi_over = self.qengine.pick()
-            elif self.rc is not None:
-                qi_over = self._cbr_pick(p)
+                qargs = self._quant_args("P", p)
             meta = (num, self.last_ref, self.prev_ref, sc)
             pending = ei_inter.start_inter_picture(
                 planes, p, self.ref_frames[self.last_ref],
                 base_qi=self.base_qi_inter,
-                use_phasecorr=self.enable_phasecorr,
-                qi_bands_override=qi_over,
-                want_stats=want_stats)
+                use_phasecorr=self.enable_phasecorr, **qargs)
             if pends:
                 ei_inter.prefetch_pending(pends[-1][0])
             # the new recon/upsample device handles become the reference
@@ -238,20 +284,251 @@ class GopEncoder:
         out += self._chain.add([bs.make_eos_unit()], final_eos=True)
         return bytes(out)
 
-    def _cbr_pick(self, p: Params):
-        """Per-band quant indices for the next P frame from the newest
-        finished frame's stat tables (None before any stats exist -> the
-        constant base_qi fallback inside start_inter_picture)."""
-        stats = self._last_stats
-        if stats is None:
-            return None
-        from schroedinger_tpu.encoder.ratecontrol import pick_base_from_stats
+    def _band_scales(self, intra: bool) -> np.ndarray:
+        """Per-band lambda multipliers (perceptual weights + magic scales,
+        schroquantiser.c:856-880)."""
+        from schroedinger_tpu.encoder.weights import (band_lambda_scales,
+                                                      cycles_per_degree)
+        cpd_h, cpd_v = cycles_per_degree(
+            self.vf.height, self.vf.aspect_ratio_numerator,
+            self.vf.aspect_ratio_denominator, self.perceptual_distance,
+            self.vf.interlaced_coding)
+        return band_lambda_scales(
+            self.intra_wavelet if intra else self.inter_wavelet,
+            self.depth, self.perceptual_weighting, cpd_h, cpd_v,
+            intra=intra)
+
+    def _quant_args(self, kind: str, p: Params) -> dict:
+        """kwargs for start_inter_picture's quant selection: the on-device
+        RD pick (lam_bands) whenever the engine is lambda-driven (CBR TM5,
+        constant_lambda) — zero stat lag, pipeline stays full — or a host
+        pick (constant_error needs a bisection against lagged tables)."""
         nb = subband_count(p.transform_depth)
-        qm = np.asarray(p.quant_matrix[:nb], np.int32)
-        base = pick_base_from_stats(stats[0], qm,
-                                    self.rc.frame_target(False),
-                                    correction=self.rc.correction)
-        return np.clip(base - qm, 0, 60).astype(np.int32)
+        if self.qengine is not None:
+            if self.qengine.mode == "constant_lambda":
+                scales = (self.qengine.band_scales
+                          if self.qengine.band_scales is not None
+                          else np.ones(nb))
+                return {"lam_bands": self.qengine.lam * scales,
+                        "me_lam": self._me_lam()}
+            return {"qi_bands_override": self.qengine.pick(),
+                    "want_stats": True}
+        if self.rc is not None:
+            return {"lam_bands": (self.rc.frame_lambda(kind)
+                                  * self._band_scales(False)),
+                    "me_lam": self._me_lam()}
+        return {}
+
+    def _me_lam(self) -> float:
+        """Mode-decision lambda (frame_me_lambda analog): tracks the
+        newest finished frame's coarsest quant step (QF/8 SAD per bit)."""
+        from schroedinger_tpu import tables
+        qi = getattr(self, "_last_max_qi", None)
+        if qi is None:
+            qi = self.base_qi_inter
+        return float(tables.QUANT_FACTOR[min(int(qi), 60)]) / 8.0
+
+    # ---- tworef/BBBP engine --------------------------------------------
+    # TPU-first re-expression of the reference's tworef GOP machinery
+    # (schroengine.c:685-796 handle_gop_tworef, :247-304 code_BBBP,
+    # :127-245 pick_refs/pick_retire): display-order frames buffer into
+    # subgroups of `subgroup_length`; the last picture of each subgroup is
+    # coded FIRST as a P, then the earlier pictures as non-reference 2-ref
+    # B's (back ref = previous I/P, forward ref = the new P/I).  The
+    # decoder-visible reference buffer is modelled explicitly: coding a P
+    # *expires* the previous P (schroengine.c:276 expire_reference) but the
+    # retire lags one subgroup (pick_retire returns the oldest EXPIRED
+    # ref), because the reference decoder retires BEFORE binding refs
+    # (schrodecoder.c:1302).  The most recent AU's intra picture stays
+    # unexpired until the next AU, so steady-state P pictures are 2-ref
+    # (refs = previous P + long-term I) exactly as the reference's
+    # pick_refs yields.  All inter pictures run the fused 1/2-ref step
+    # (subpel ME + RD mode/split) dispatched ahead of host entropy coding:
+    # the subgroup dependency chain lives on device.
+
+    # decoder-visible reference buffer model (schroengine.c:127-245)
+    def _pick_refs(self, fn: int):
+        """ref0 = most recent back ref (expiry ignored); ref1 = earliest
+        forward unexpired ref, else newest older unexpired back ref."""
+        back = [n for n in self._refbuf if n < fn]
+        ref0 = max(back)
+        fwd = [n for n, exp in self._refbuf.items() if n > fn and not exp]
+        if fwd:
+            return ref0, min(fwd)
+        older = [n for n, exp in self._refbuf.items()
+                 if n < ref0 and not exp]
+        return ref0, (max(older) if older else None)
+
+    def _pick_retire(self):
+        """Oldest expired ref; forced oldest-overall at 3 buffered refs."""
+        expired = [n for n, e in self._refbuf.items() if e]
+        if expired:
+            return min(expired)
+        if len(self._refbuf) >= 3:
+            return min(self._refbuf)
+        return None
+
+    def _retire_and_add(self, retire, fn: int):
+        if retire is not None:
+            self._refbuf.pop(retire, None)
+            self.ref_frames.pop(retire, None)
+        self._refbuf[fn] = False
+
+    def _encode_stream_biref(self, frames) -> bytes:
+        out = bytearray()
+        for planes in frames:
+            out += self.encode_frame(planes)
+        out += self.flush()
+        out += self._chain.add([bs.make_eos_unit()], final_eos=True)
+        return bytes(out)
+
+    def _drain_subgroups(self, final: bool) -> bytes:
+        """Cut completed subgroups off the display-order queue and encode
+        them (handle_gop_tworef's boundary logic, schroengine.c:703-776):
+        an AU boundary ends the subgroup *with* the AU frame as its intra
+        last picture (open GOP: the preceding B's reference the new I
+        forward); a scene cut at the head becomes an I, a cut mid-subgroup
+        ends the subgroup just before the cut frame."""
+        out = bytearray()
+        while self._queue:
+            sg = self.subgroup_length
+            n = len(self._queue)
+            take = None
+            last_is_intra = False
+            for j in range(min(sg, n)):
+                num, _, sc = self._queue[j]
+                is_au = (self._au_frame is None
+                         or (num - self._au_frame)
+                         >= self.gop_length * self.field_factor)
+                cut = (self.enable_scene_change
+                       and sc > self.scene_change_threshold
+                       and self._refbuf)
+                if is_au:
+                    if j + 1 <= n:
+                        take, last_is_intra = j + 1, True
+                    break
+                if cut:
+                    if j == 0:
+                        take, last_is_intra = 1, True
+                    else:
+                        take, last_is_intra = j, False
+                    break
+            if take is None:
+                if n >= sg:
+                    take = sg
+                elif final:
+                    take = n
+                else:
+                    break  # wait for more frames
+            group = [self._queue.pop(0) for _ in range(take)]
+            out += self._encode_subgroup(group, last_is_intra)
+        return bytes(out)
+
+    def _encode_subgroup(self, group, last_is_intra: bool) -> bytes:
+        out = bytearray()
+        num, planes, sc = group[-1]
+        if last_is_intra or not self._refbuf:
+            while self._pends2:
+                out += self._finish_pending2(self._pends2.popleft())
+            retire = self._pick_retire()
+            out += self._encode_ref(planes, num, True, sc,
+                                    retired=retire, manage_refs=False)
+            self._retire_and_add(retire, num)
+            intra_num = num
+        else:
+            out += self._start_ref_biref(planes, num, sc)
+            intra_num = None
+        for (bnum, bplanes, bsc) in group[:-1]:
+            out += self._start_b_biref(bplanes, bnum, bsc)
+        if intra_num is not None:
+            # expire_refs_before (schroengine.c:294-296): pre-AU refs
+            # become retire candidates for subsequent ref pictures
+            for n in self._refbuf:
+                if n < intra_num:
+                    self._refbuf[n] = True
+            self._au_frame = intra_num
+        return bytes(out)
+
+    def _start_ref_biref(self, planes, num, sc) -> bytes:
+        """Code the subgroup-last P: ref0 = previous I/P, ref1 = long-term
+        unexpired ref (the last AU's intra) when one exists; retire lags
+        by one subgroup (schroengine.c:267-277)."""
+        from schroedinger_tpu.encoder import inter as ei_inter
+        retire = self._pick_retire()
+        ref0, ref1 = self._pick_refs(num)
+        refs = [ref0] if ref1 is None else [ref0, ref1]
+        p = self._params(len(refs))
+        pending = ei_inter.start_inter_picture(
+            planes, p, self.ref_frames[ref0],
+            base_qi=self.base_qi_inter,
+            use_phasecorr=self.enable_phasecorr,
+            ref2=(self.ref_frames[ref1] if ref1 is not None else None),
+            want_recon=True, **self._quant_args("P", p))
+        meta = (num, refs, retire, True, "P", sc)
+        self.ref_frames[num] = RefFrame(tuple(pending["recon"]),
+                                        upsampled=None)
+        self._retire_and_add(retire, num)
+        # expire_reference(encoder->last_ref) after coding each P
+        if self._enc_last_ref in self._refbuf:
+            self._refbuf[self._enc_last_ref] = True
+        self._enc_last_ref = num
+        self._pends2.append((pending, meta))
+        return self._drain_pends2()
+
+    def _start_b_biref(self, planes, num, sc) -> bytes:
+        from schroedinger_tpu.encoder import inter as ei_inter
+        ref0, ref1 = self._pick_refs(num)
+        refs = [ref0, ref1]
+        p = self._params(2)
+        pending = ei_inter.start_inter_picture(
+            planes, p, self.ref_frames[ref0],
+            base_qi=self.base_qi_b,
+            use_phasecorr=self.enable_phasecorr,
+            ref2=self.ref_frames[ref1],
+            want_recon=self.enable_md5, **self._quant_args("B", p))
+        meta = (num, refs, None, False, "B", sc)
+        self._pends2.append((pending, meta))
+        return self._drain_pends2()
+
+    def _drain_pends2(self) -> bytes:
+        out = bytearray()
+        if (self.qengine is not None
+                and self.qengine.mode != "constant_lambda"
+                and not self._stats_by_kind and self._pends2):
+            # lagged-pick engine with no stat feedback yet (stream
+            # start): drain the oldest
+            out += self._finish_pending2(self._pends2.popleft())
+        while len(self._pends2) > self.pipeline_depth:
+            out += self._finish_pending2(self._pends2.popleft())
+        return bytes(out)
+
+    def _finish_pending2(self, pend) -> bytes:
+        from schroedinger_tpu.encoder import inter as ei_inter
+        pending, (num, refs, retired, is_ref, kind, sc) = pend
+        unit, stats = ei_inter.finish_inter_picture(
+            pending, num, refs[0], is_ref=is_ref, retired=retired,
+            ref2_num=refs[1] if len(refs) > 1 else None)
+        if self.qengine:
+            self.qengine.update(stats)
+        if stats is not None:
+            self._stats_by_kind[kind] = stats
+        if pending.get("qi_bands") is not None and kind != "B":
+            self._last_max_qi = int(np.max(pending["qi_bands"]))
+        if self.rc is not None:
+            self.rc.update(kind, len(unit) * 8, num, self.field_factor)
+        units = []
+        if self.enable_md5 and pending["recon"] is not None:
+            from schroedinger_tpu.coding import native as _native
+            units.append(bs.make_aux_unit(
+                bs.AUX_MD5_CHECKSUM,
+                _native.frame_md5(tuple(np.asarray(pl)
+                                        for pl in pending["recon"]))))
+        units.append(unit)
+        self.stats.record(frame=num, intra=False, b_picture=(kind == "B"),
+                          bits=len(unit) * 8, sc_score=round(sc, 3),
+                          buffer_level=(self.rc.buffer_level if self.rc
+                                        else None))
+        return self._chain.add(units)
 
     def _finish_pending(self, pend) -> bytes:
         from schroedinger_tpu.encoder import inter as ei_inter
@@ -263,11 +540,10 @@ class GopEncoder:
             self.qengine.update(stats)
         if stats is not None:
             self._last_stats = stats
+        if pending.get("qi_bands") is not None:
+            self._last_max_qi = int(np.max(pending["qi_bands"]))
         if self.rc is not None:
-            from schroedinger_tpu.encoder.ratecontrol import estimate_bits_at
-            est = (estimate_bits_at(stats[0], pending["qi_bands"])
-                   if stats is not None else None)
-            self.rc.update(len(unit) * 8, est)
+            self.rc.update("P", len(unit) * 8, num, self.field_factor)
         units = []
         if self.enable_md5:
             from schroedinger_tpu.coding import native as _native
@@ -285,7 +561,7 @@ class GopEncoder:
         p = self._params(2)
         target = None
         if self.rc:
-            target = self.rc.frame_target(kind="B")
+            target = self.rc.B_frame_alloc
         unit = encode_b_picture(planes, p, num, ref1_num,
                                 self.ref_frames[ref1_num], ref2_num,
                                 self.ref_frames[ref2_num],
@@ -294,25 +570,29 @@ class GopEncoder:
                                 rc_correction=self.rc.correction
                                 if self.rc else 1.0)
         if self.rc:
-            self.rc.update(len(unit) * 8)
+            self.rc.update("B", len(unit) * 8, num, self.field_factor)
         self.stats.record(frame=num, intra=False, b_picture=True,
                           bits=len(unit) * 8)
         return self._chain.add([unit])
 
-    def _encode_ref(self, planes, num, is_intra, sc_score) -> bytes:
+    def _encode_ref(self, planes, num, is_intra, sc_score,
+                    retired="auto", manage_refs=True) -> bytes:
+        if retired == "auto":
+            retired = self.prev_ref
         units = []
         if is_intra:
             units.append(bs.write_sequence_header(self.vf, profile=8, level=0))
             p = self._params(0)
             nb = subband_count(p.transform_depth)
             qm = np.asarray(p.quant_matrix[:nb], np.int32)
-            base = self.base_qi_intra
+            qi_bands = np.clip(self.base_qi_intra - qm, 0, 60)
             if self.rc:
                 import jax.numpy as jnp
                 from schroedinger_tpu.coding import slices as sl
                 from schroedinger_tpu.encoder.lowdelay import (_forward_jit,
                                                                _prep_plane)
-                from schroedinger_tpu.encoder.ratecontrol import pick_base_qi
+                from schroedinger_tpu.encoder.ratecontrol import (
+                    qi_from_lambda, stats_tables)
                 dims = [(p.iwt_luma_height, p.iwt_luma_width),
                         (p.iwt_chroma_height, p.iwt_chroma_width),
                         (p.iwt_chroma_height, p.iwt_chroma_width)]
@@ -322,39 +602,38 @@ class GopEncoder:
                     pyr = _forward_jit(prepped, p.transform_depth,
                                        p.wavelet_filter_index)
                     band_lists.append(sl.subband_arrays(pyr, p.transform_depth))
-                base = pick_base_qi(band_lists, p,
-                                    self.rc.frame_target(True), intra=True,
-                                    correction=self.rc.correction)
+                stats = stats_tables(band_lists, p, intra=True)
+                qi_bands = qi_from_lambda(stats[0], stats[1],
+                                          self.rc.frame_lambda("I"),
+                                          band_scales=self._band_scales(True))
             qis = {}
             for comp in range(3):
                 for i in range(nb):
                     hcb, vcb = ei_inter._codeblock_counts(p, i)
-                    qi = int(np.clip(base - qm[i], 0, 60))
-                    qis[(comp, i)] = np.full((vcb, hcb), qi, np.int32)
+                    qis[(comp, i)] = np.full((vcb, hcb),
+                                             int(qi_bands[i]), np.int32)
             unit, recon = ei_intra.encode_picture(planes, p, num,
                                                   quant_indices=qis,
                                                   is_ref=True,
-                                                  retired=self.prev_ref,
+                                                  retired=retired,
                                                   return_recon=True)
             up = None
             if self.rc:
-                self.rc.update(len(unit) * 8)
+                self.rc.update("I", len(unit) * 8, num, self.field_factor)
         else:
             p = self._params(1)
-            target = self.rc.frame_target(False) if self.rc else None
-            qi_over = self.qengine.pick() if self.qengine else None
             unit, recon, used_qi, stats, up = ei_inter.encode_inter_picture(
                 planes, p, num, self.last_ref, self.ref_frames[self.last_ref],
                 base_qi=self.base_qi_inter, is_ref=True,
-                retired=self.prev_ref, target_bits=target,
-                rc_correction=self.rc.correction if self.rc else 1.0,
+                retired=retired, target_bits=None,
                 use_phasecorr=self.enable_phasecorr,
-                qi_bands_override=qi_over,
-                want_stats=self.qengine is not None)
+                **self._quant_args("P", p))
             if self.qengine:
                 self.qengine.update(stats)
+            if stats is not None:
+                self._last_stats = stats
             if self.rc:
-                self.rc.update(len(unit) * 8)
+                self.rc.update("P", len(unit) * 8, num, self.field_factor)
         if self.enable_md5:
             from schroedinger_tpu.coding import native as _native
             units.append(bs.make_aux_unit(
@@ -362,11 +641,12 @@ class GopEncoder:
                 _native.frame_md5(tuple(np.asarray(pl) for pl in recon))))
         units.append(unit)
 
-        if self.prev_ref is not None:
-            self.ref_frames.pop(self.prev_ref, None)
+        if manage_refs:
+            if self.prev_ref is not None:
+                self.ref_frames.pop(self.prev_ref, None)
+            self.prev_ref = self.last_ref
+            self.last_ref = num
         self.ref_frames[num] = RefFrame(recon, upsampled=up)
-        self.prev_ref = self.last_ref
-        self.last_ref = num
         if num == self.frame_number:
             self.frame_number += 1
         self.stats.record(frame=num, intra=bool(is_intra),

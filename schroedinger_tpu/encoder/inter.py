@@ -401,7 +401,12 @@ def make_rd_split_body(p: Params):
         rp = jnp.pad(ref_y, ((0, pad_h - h), (0, pad_w - w)), mode="edge")
         P = jnp.pad(rp, ((margin, margin), (margin, margin)), mode="edge")
 
-        # MC SAD of the aggregate vectors, evaluated at unit granularity
+        # MC SAD of the aggregate vectors, evaluated at unit granularity.
+        # The clips below are load-bearing for the gather margin only:
+        # block MVs are bounded to +-ME_BOUND_PEL by the ME, so their
+        # means never exceed B and the measured vector always equals the
+        # coded (unclipped subpel) aggregate — if ME bounds ever grow past
+        # `margin`, widen margin rather than relying on the clip.
         cbq = me_mod._to_blocks(c, ynb // 2, 2 * ybsep, xnb // 2, 2 * xbsep)
         _, _, sad_q = me_mod._patch_refine(
             cbq, P, jnp.clip(to_fullpel(qdy), -B, B),
@@ -652,26 +657,30 @@ _P_FIELD_ORDER = ("split", "pred_mode", "using_global", "dx1", "dy1",
                   "dx2", "dy2", "dc0", "dc1", "dc2")
 
 
-def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False):
-    """One fused jitted program for a whole P picture (TPU-first analog of
-    the reference's per-stage encoder lifecycle, schroencoder.c:2500-2700):
+def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
+                want_recon: bool = True, rdo_pick: bool = False):
+    """One fused jitted program for a whole inter picture (TPU-first analog
+    of the reference's per-stage encoder lifecycle, schroencoder.c:2500-2700):
 
-      step(y, u, v, ref_y, up_y, up_u, up_v, qi_bands[, extra]) ->
-          (fields..., qflat_y, qflat_u, qflat_v, recon_y, recon_u, recon_v,
-           rc_bits)
+      1 ref: step(packed, ref_y, up_y, up_u, up_v, qi_bands[, extra])
+      2 ref: step(packed, ref1_y, up1_y, up1_u, up1_v,
+                  ref2_y, up2_y, up2_u, up2_v, qi_bands[, extra])
+      -> (wire, qflat_y, qflat_u, qflat_v[, recon_y, recon_u, recon_v])
 
-    ME, sub-pel refine, mode decision, split derivation, OBMC render,
-    residual IWT, quantisation, and reference reconstruction all trace into
-    a single XLA executable — one dispatch + one batched host fetch per
-    frame, which matters when device round trips are ~100 ms.  rc_bits is
-    the (61,) per-base coded-bit estimate (used next frame by CBR; one
-    frame of lag instead of a second dispatch).
+    ME (per ref), sub-pel refine, 4-way mode decision + RD split, OBMC
+    render, residual IWT, quantisation, and (for reference pictures) the
+    reconstruction all trace into a single XLA executable — one dispatch +
+    one batched host fetch per frame, which matters when device round trips
+    are ~100 ms.  want_recon=False (non-ref B pictures) skips the
+    dequantise/IIWT/combine tail entirely.  The wire carries the (61, nb)
+    stat tables used by CBR/quantiser engines with pipeline-lag feedback.
     """
     vf = p.video_format
+    num_refs = p.num_refs
     key = ("pstep",) + vf.picture_luma_size() + (p.transform_depth,
            int(p.wavelet_filter_index), vf.chroma_format, p.mv_precision,
            p.xbsep_luma, p.ybsep_luma, p.xblen_luma, p.yblen_luma, n_extra,
-           want_stats)
+           want_stats, num_refs, want_recon, rdo_pick)
     hit = _ME_CACHE.get(key)
     if hit is not None:
         return hit
@@ -704,8 +713,9 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False):
     subpel_body = (me_mod.make_subpel_body(
         ph0, pw0, p.xbsep_luma, p.ybsep_luma, xnb, ynb,
         p.mv_precision) if p.mv_precision > 0 else None)
-    rd_split_body = make_rd_split_body(p)
-    render_body = obmc.make_render_body(p, 1)
+    rd_split_body = (make_rd_split_body(p) if num_refs == 1
+                     else make_rd_split_body2(p))
+    render_body = obmc.make_render_body(p, num_refs)
 
     # single-RPC wire format: the axon tunnel charges high per-transfer
     # latency, so every host<->device exchange is one packed u8 array.
@@ -713,7 +723,33 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False):
     sizes_hi = [int(s[:min(4, len(s))].sum()) for s in sizes3]
     n_fields = len(_P_FIELD_ORDER)
 
-    def step(packed, ref_y, up_y, up_u, up_v, qi_bands, extra=None):
+    rd_margin = me_mod.ME_BOUND_PEL + 16
+    pad_h, pad_w = p.ybsep_luma * ynb, p.xbsep_luma * xnb
+
+    def step(packed, *args):
+        # with rdo_pick the quant-selection input is (lam_bands, me_lam)
+        # instead of explicit per-band quant indices: the per-band RD
+        # argmin runs on device against THIS frame's exact stat tables
+        # (the reference's current-frame estimate tables +
+        # choose_quantisers_rdo_cbr, schroquantiser.c:772-780 — only the
+        # TM5 qf/lambda is serialized across pictures)
+        n_qsel = 2 if rdo_pick else 1
+        if num_refs == 1:
+            ref_y, up_y, up_u, up_v = args[:4]
+            qsel = args[4:4 + n_qsel]
+            extra = args[4 + n_qsel] if n_extra else None
+            ups2 = None
+        else:
+            (ref_y, up_y, up_u, up_v,
+             ref2_y, up2_y, up2_u, up2_v) = args[:8]
+            qsel = args[8:8 + n_qsel]
+            extra = args[8 + n_qsel] if n_extra else None
+            ups2 = (up2_y, up2_u, up2_v)
+        if rdo_pick:
+            lam_bands, me_lam = qsel
+            qi_bands = None
+        else:
+            qi_bands = qsel[0]
         (wy_pic, hy_pic) = pic_sizes[0]
         (wc_pic, hc_pic) = pic_sizes[1]
         ny = hy_pic * wy_pic
@@ -731,30 +767,92 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False):
         if subpel_body is not None:
             dy, dx, sad_mc = subpel_body(y, up_y, dy, dx)
         # RD split + mode search (schro_mode_decision analog): lambda
-        # scales with the quant step (QF/4), ~step/2 SAD per bit
-        lam = QF[jnp.max(qi_bands)].astype(jnp.float32) / 8.0
-        cpad = jnp.pad(y, ((0, p.ybsep_luma * ynb - y.shape[0]),
-                           (0, p.xbsep_luma * xnb - y.shape[1])),
+        # scales with the quant step (QF/4), ~step/2 SAD per bit; with
+        # rdo_pick the caller supplies it (frame_me_lambda analog)
+        lam = (me_lam.astype(jnp.float32) if rdo_pick
+               else QF[jnp.max(qi_bands)].astype(jnp.float32) / 8.0)
+        cpad = jnp.pad(y, ((0, pad_h - y.shape[0]),
+                           (0, pad_w - y.shape[1])),
                        mode="edge").astype(jnp.int32)
-        fields = rd_split_body(cpad, ref_y, dy, dx, sad_mc, sad_dc,
-                               mean_y, mean_u, mean_v, lam)
+        if num_refs == 1:
+            fields = rd_split_body(cpad, ref_y, dy, dx, sad_mc, sad_dc,
+                                   mean_y, mean_u, mean_v, lam)
+        else:
+            dy2, dx2, sad2 = (me_body(y, ref2_y, extra) if n_extra
+                              else me_body(y, ref2_y))
+            if subpel_body is not None:
+                dy2, dx2, sad2 = subpel_body(y, up2_y, dy2, dx2)
 
-        preds = render_body(fields, (up_y, up_u, up_v), None)
+            def padref(r):
+                h, w = r.shape
+                rp = jnp.pad(r, ((0, pad_h - h), (0, pad_w - w)),
+                             mode="edge")
+                return jnp.pad(rp, ((rd_margin, rd_margin),
+                                    (rd_margin, rd_margin)), mode="edge")
 
-        outq = []
-        outlo = []
-        outhi = []
-        ovfs = []
-        outr = []
+            fields = rd_split_body(cpad, padref(ref_y), padref(ref2_y),
+                                   dy, dx, sad_mc, dy2, dx2, sad2,
+                                   sad_dc, mean_y, mean_u, mean_v, lam)
+
+        preds = render_body(fields, (up_y, up_u, up_v), ups2)
+
         rc_flat = []
-        for plane, pred, shapes, sizes, (oh, ow), (wpic, hpic) in zip(
-                (y, u, v), preds, shapes3, sizes3, iwt_dims, pic_sizes):
+        for plane, pred, (oh, ow) in zip((y, u, v), preds, iwt_dims):
             h, w = plane.shape
             res = plane.astype(jnp.int16) - 128 - pred.astype(jnp.int16)
             res = jnp.pad(res, ((0, oh - h), (0, ow - w)))
             pyr = wv.forward(res, depth, wavelet)
             flat, _ = sl.flatten_pyramid(pyr, depth)
             rc_flat.append(flat)
+
+        if want_stats or rdo_pick:
+            # 61-way per-subband (bits, sq-error) estimates, indexed by the
+            # ACTUAL quant index (row q = stats of coding that band at qi=q),
+            # for the quantiser engines, CBR, and the on-device RD pick
+            # (exact-stat analog of schroquantiser.c's estimate tables,
+            # :419-520).  Per-band sums use STATIC slicing, not segment_sum
+            # — scatter ops serialise terribly on TPU.
+            allflat = jnp.concatenate(rc_flat).astype(jnp.int32)
+            # band boundaries within the concatenated flat (3 comps)
+            bounds = []
+            boff = 0
+            for sizes in sizes3:
+                for bi, bn in enumerate(sizes):
+                    bounds.append((bi, boff, boff + int(bn)))
+                    boff += int(bn)
+
+            def one(base):
+                from schroedinger_tpu.encoder.ratecontrol import _sint_bits
+                qqq = q.quantise(allflat, QF[base], QO[base])
+                dqq = q.dequantise(qqq, QF[base], QO[base])
+                b = _sint_bits(qqq).astype(jnp.float32)
+                e = jnp.square((allflat - dqq).astype(jnp.float32))
+                bsum = [jnp.float32(0)] * nb
+                esum = [jnp.float32(0)] * nb
+                for bi, blo, bhi in bounds:
+                    bsum[bi] = bsum[bi] + b[blo:bhi].sum()
+                    esum[bi] = esum[bi] + e[blo:bhi].sum()
+                return jnp.stack(bsum), jnp.stack(esum)
+
+            rc_bits, rc_err = jax.lax.map(one,
+                                          jnp.arange(61, dtype=jnp.int32))
+        else:
+            rc_bits = jnp.zeros((61, nb), jnp.float32)
+            rc_err = jnp.zeros((61, nb), jnp.float32)
+
+        if rdo_pick:
+            # per-band RD argmin, index 60 excluded like the reference
+            # (schro_subband_pick_quant, schroquantiser.c:808-835)
+            cost = rc_bits[:60] + lam_bands[None, :] * rc_err[:60]
+            qi_bands = jnp.argmin(cost, axis=0).astype(jnp.int32)
+
+        outq = []
+        outlo = []
+        outhi = []
+        ovfs = []
+        outr = []
+        for flat, pred, shapes, sizes, (oh, ow), (wpic, hpic) in zip(
+                rc_flat, preds, shapes3, sizes3, iwt_dims, pic_sizes):
             n = int(sizes.sum())
             qf = jnp.repeat(QF[qi_bands], sizes, total_repeat_length=n)
             qo = jnp.repeat(QO[qi_bands], sizes, total_repeat_length=n)
@@ -770,63 +868,34 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False):
             outlo.append(qq16.astype(jnp.int8))
             outhi.append((qq16[:n_c] >> 8).astype(jnp.int8))
             ovfs.append(jnp.any(jnp.abs(qq16[n_c:]) > 127))
-            dq = q.dequantise(qq, qf, qo).astype(jnp.int16)
-            bands = []
-            pos = 0
-            for (bh, bw) in shapes:
-                bands.append(dq[pos:pos + bh * bw].reshape(bh, bw))
-                pos += bh * bw
-            rres = wv.inverse(sl.arrays_to_pyramid(bands, depth), wavelet)
-            rec = (rres[:hpic, :wpic].astype(jnp.int32)
-                   + pred.astype(jnp.int32) + 128)
-            outr.append(jnp.clip(rec, 0, 255).astype(jnp.uint8))
-
-        if want_stats:
-            # 61-way per-subband (bits, sq-error) estimates, indexed by the
-            # ACTUAL quant index (row q = stats of coding that band at qi=q),
-            # for the quantiser engines and CBR (exact-stat analog of
-            # schroquantiser.c's estimate tables, :419-520).  Per-band
-            # sums use STATIC slicing, not segment_sum — scatter ops
-            # serialise terribly on TPU.
-            allflat = jnp.concatenate(rc_flat).astype(jnp.int32)
-            # band boundaries within the concatenated flat (3 comps)
-            bounds = []
-            off = 0
-            for sizes in sizes3:
-                for bi, n in enumerate(sizes):
-                    bounds.append((bi, off, off + int(n)))
-                    off += int(n)
-
-            def one(base):
-                from schroedinger_tpu.encoder.ratecontrol import _sint_bits
-                qqq = q.quantise(allflat, QF[base], QO[base])
-                dqq = q.dequantise(qqq, QF[base], QO[base])
-                b = _sint_bits(qqq).astype(jnp.float32)
-                e = jnp.square((allflat - dqq).astype(jnp.float32))
-                bsum = [jnp.float32(0)] * nb
-                esum = [jnp.float32(0)] * nb
-                for bi, lo, hi in bounds:
-                    bsum[bi] = bsum[bi] + b[lo:hi].sum()
-                    esum[bi] = esum[bi] + e[lo:hi].sum()
-                return jnp.stack(bsum), jnp.stack(esum)
-
-            rc_bits, rc_err = jax.lax.map(one,
-                                          jnp.arange(61, dtype=jnp.int32))
-        else:
-            rc_bits = jnp.zeros((61, nb), jnp.float32)
-            rc_err = jnp.zeros((61, nb), jnp.float32)
+            if want_recon:
+                dq = q.dequantise(qq, qf, qo).astype(jnp.int16)
+                bands = []
+                pos = 0
+                for (bh, bw) in shapes:
+                    bands.append(dq[pos:pos + bh * bw].reshape(bh, bw))
+                    pos += bh * bw
+                rres = wv.inverse(sl.arrays_to_pyramid(bands, depth),
+                                  wavelet)
+                rec = (rres[:hpic, :wpic].astype(jnp.int32)
+                       + pred.astype(jnp.int32) + 128)
+                outr.append(jnp.clip(rec, 0, 255).astype(jnp.uint8))
 
         f16 = jnp.stack([fields[k].astype(jnp.int16)
                          for k in _P_FIELD_ORDER])
         fbytes = jax.lax.bitcast_convert_type(f16, jnp.uint8).reshape(-1)
         rcb = jax.lax.bitcast_convert_type(
             jnp.stack([rc_bits, rc_err]), jnp.uint8).reshape(-1)
+        parts = [fbytes, rcb]
+        if rdo_pick:
+            parts.append(jax.lax.bitcast_convert_type(
+                qi_bands.astype(jnp.int16), jnp.uint8).reshape(-1))
         lob = jnp.concatenate(
             [jax.lax.bitcast_convert_type(a, jnp.uint8) for a in outlo])
         hib = jnp.concatenate(
             [jax.lax.bitcast_convert_type(a, jnp.uint8) for a in outhi])
         ovfb = jnp.stack(ovfs).astype(jnp.uint8)
-        wire = jnp.concatenate([fbytes, rcb, lob, hib, ovfb])
+        wire = jnp.concatenate(parts + [lob, hib, ovfb])
         return (wire,) + tuple(outq) + tuple(outr)
 
     layout = {
@@ -898,19 +967,36 @@ def write_prediction_parameters(w: BitWriter, p: Params) -> None:
 def start_inter_picture(planes_u8, p: Params, ref1: RefFrame,
                         base_qi: int = 20, use_phasecorr: bool = False,
                         qi_bands_override=None,
-                        want_stats: bool = False) -> dict:
-    """Dispatch the fused P-step for one picture (async: XLA queues the
+                        want_stats: bool = False,
+                        ref2: Optional[RefFrame] = None,
+                        want_recon: bool = True,
+                        lam_bands=None, me_lam: float = None) -> dict:
+    """Dispatch the fused inter step for one picture (async: XLA queues the
     work; nothing blocks). The returned pending dict carries the device
     handles — `recon`/`up` are usable as the next frame's reference
     immediately, so a caller can start picture N+1 while the host entropy
-    coding of picture N runs (finish_inter_picture)."""
+    coding of picture N runs (finish_inter_picture).  ref2 dispatches the
+    two-reference step (tworef P / B pictures); want_recon=False skips the
+    reconstruction tail for non-reference pictures.
+
+    lam_bands: (nb,) per-band RD lambdas -> the quant indices are chosen
+    ON DEVICE against this frame's own exact stat tables (the reference's
+    current-frame estimate tables, schroquantiser.c:772-780); only the
+    lambda (TM5 qf / constant_lambda) crosses pictures, so rate control
+    no longer adds any feedback lag to the pipeline."""
     assert _native is not None
+    assert (ref2 is None) == (p.num_refs == 1)
     nb = subband_count(p.transform_depth)
     qm = np.asarray(p.quant_matrix[:nb], np.int32)
     n_extra = N_PHASECORR_CANDS if use_phasecorr else 0
+    rdo_pick = lam_bands is not None
     stepfn, shapes3, layout = _get_p_step(p, n_extra=n_extra,
-                                          want_stats=want_stats)
-    if qi_bands_override is not None:
+                                          want_stats=want_stats,
+                                          want_recon=want_recon,
+                                          rdo_pick=rdo_pick)
+    if rdo_pick:
+        qi_bands = None
+    elif qi_bands_override is not None:
         qi_bands = np.asarray(qi_bands_override, np.int32)
     else:
         qi_bands = np.clip(base_qi - qm, 0, 60).astype(np.int32)
@@ -918,8 +1004,18 @@ def start_inter_picture(planes_u8, p: Params, ref1: RefFrame,
     # one upload: all three planes in a single u8 vector
     packed = jnp.asarray(np.concatenate(
         [np.asarray(pl, np.uint8).ravel() for pl in planes_u8]))
-    args = (packed, jnp.asarray(ref1.planes[0]),
-            ups[0], ups[1], ups[2], jnp.asarray(qi_bands))
+    args = (packed, jnp.asarray(ref1.planes[0]), ups[0], ups[1], ups[2])
+    if ref2 is not None:
+        ups2 = ref2.get_upsampled()
+        args = args + (jnp.asarray(ref2.planes[0]),
+                       ups2[0], ups2[1], ups2[2])
+    if rdo_pick:
+        args = args + (jnp.asarray(lam_bands, jnp.float32),
+                       jnp.float32(me_lam if me_lam is not None
+                                   else float(tables.QUANT_FACTOR[base_qi])
+                                   / 8.0))
+    else:
+        args = args + (jnp.asarray(qi_bands),)
     if use_phasecorr:
         cur_y = packed[:np.asarray(planes_u8[0]).size].reshape(
             np.asarray(planes_u8[0]).shape)
@@ -928,10 +1024,11 @@ def start_inter_picture(planes_u8, p: Params, ref1: RefFrame,
         outs = stepfn(*args)
     return {
         "p": p, "outs": outs, "qi_bands": qi_bands, "shapes3": shapes3,
-        "layout": layout,
-        "base_qi": int(qi_bands[0] + qm[0]),
+        "layout": layout, "rdo": rdo_pick,
+        "base_qi": (int(qi_bands[0] + qm[0]) if qi_bands is not None
+                    else base_qi),
         "want_stats": want_stats,
-        "recon": (outs[4], outs[5], outs[6]),
+        "recon": (outs[4], outs[5], outs[6]) if want_recon else None,
         "up": None,
     }
 
@@ -946,7 +1043,8 @@ def prefetch_pending(pending: dict) -> None:
 
 
 def finish_inter_picture(pending: dict, frame_number: int, ref1_num: int,
-                         is_ref: bool = True, retired: Optional[int] = None):
+                         is_ref: bool = True, retired: Optional[int] = None,
+                         ref2_num: Optional[int] = None):
     """Fetch the fused step's packed wire (one transfer) and entropy-code
     the parse unit.  Returns (unit_bytes, stats)."""
     p = pending["p"]
@@ -961,6 +1059,11 @@ def finish_inter_picture(pending: dict, frame_number: int, ref1_num: int,
     rc = np.frombuffer(wire, np.float32, 2 * 61 * nb, off).reshape(
         2, 61, nb)
     off += 2 * 61 * nb * 4
+    qi_bands = pending["qi_bands"]
+    if pending.get("rdo"):
+        qi_bands = np.frombuffer(wire, np.int16, nb, off).astype(np.int32)
+        off += nb * 2
+        pending["qi_bands"] = qi_bands
     mv = {k: np.ascontiguousarray(f16[i].astype(np.int32))
           for i, k in enumerate(_P_FIELD_ORDER)}
     los = []
@@ -987,8 +1090,9 @@ def finish_inter_picture(pending: dict, frame_number: int, ref1_num: int,
         qv[:n_c] = (hi.astype(np.int16) << 8) | (lo[:n_c].astype(np.int16)
                                                  & 0xFF)
         host_q.append(qv)
-    unit = _write_p_unit(p, frame_number, ref1_num, is_ref, retired, mv,
-                         host_q, pending["shapes3"], pending["qi_bands"])
+    refs = [ref1_num] if ref2_num is None else [ref1_num, ref2_num]
+    unit = _write_p_unit(p, frame_number, refs, is_ref, retired, mv,
+                         host_q, pending["shapes3"], qi_bands)
     return unit, stats
 
 
@@ -1000,13 +1104,15 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
                          rc_correction: float = 1.0,
                          use_phasecorr: bool = False,
                          qi_bands_override=None,
-                         want_stats: bool = False):
+                         want_stats: bool = False,
+                         lam_bands=None, me_lam: float = None):
     """Encode one P picture. Returns (parse_unit_bytes, recon_planes,
     used_base_qi, stats, up_planes) where stats is (bits61, err61)
     per-subband estimate tables from the fused path (None on the CBR
     path), consumed by the constant-lambda / constant-error quantiser
     engines next frame.  qi_bands_override: explicit per-subband quant
-    indices (nb,) chosen by a quantiser engine."""
+    indices (nb,) chosen by a quantiser engine; lam_bands: on-device RD
+    pick (see start_inter_picture)."""
     assert _native is not None
     depth = p.transform_depth
     nb = subband_count(depth)
@@ -1018,7 +1124,8 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
         pend = start_inter_picture(planes_u8, p, ref1, base_qi=base_qi,
                                    use_phasecorr=use_phasecorr,
                                    qi_bands_override=qi_bands_override,
-                                   want_stats=want_stats)
+                                   want_stats=want_stats,
+                                   lam_bands=lam_bands, me_lam=me_lam)
         unit, stats = finish_inter_picture(pend, frame_number, ref1_num,
                                            is_ref=is_ref, retired=retired)
         return unit, pend["recon"], base_qi, stats, pend["up"]
@@ -1034,28 +1141,30 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
     outs = qrfn(*flats, *preds, jnp.asarray(qi_bands))
     host_q = jax.device_get(outs[:3])    # one batched transfer
     recon_planes = outs[3:]              # stays on device
-    unit = _write_p_unit(p, frame_number, ref1_num, is_ref, retired, mv,
+    unit = _write_p_unit(p, frame_number, [ref1_num], is_ref, retired, mv,
                          host_q, shapes3, qi_bands)
     return unit, tuple(recon_planes), base_qi, None, None
 
 
-def _write_p_unit(p: Params, frame_number: int, ref1_num: int, is_ref: bool,
+def _write_p_unit(p: Params, frame_number: int, refs, is_ref: bool,
                   retired: Optional[int], mv, host_q, shapes3, qi_bands):
-    """Host entropy coding + parse-unit assembly for a P picture."""
+    """Host entropy coding + parse-unit assembly for an inter picture."""
     nb = subband_count(p.transform_depth)
+    num_refs = len(refs)
     w = BitWriter()
-    code = parse_code_picture(is_ref, 1, False, False)
+    code = parse_code_picture(is_ref, num_refs, False, False)
     write_parse_info(w, code)
     retired_delta = None
     if is_ref:
         retired_delta = (retired - frame_number) if retired is not None else 0
     write_picture_header(w, frame_number,
-                         ref_deltas=[ref1_num - frame_number],
+                         ref_deltas=[r - frame_number for r in refs],
                          retired_delta=retired_delta)
     w.sync()
     write_prediction_parameters(w, p)
     w.sync()
-    bufs = _native.motion_encode(mv, p.x_num_blocks, p.y_num_blocks, 1)
+    bufs = _native.motion_encode(mv, p.x_num_blocks, p.y_num_blocks,
+                                 num_refs)
     for s in range(9):
         if bufs[s] is None:
             continue

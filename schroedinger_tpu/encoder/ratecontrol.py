@@ -50,6 +50,59 @@ def bits_per_base(flat_coeffs, qmo, intra_flag):
     return jax.lax.map(one, jnp.arange(61, dtype=jnp.int32))
 
 
+_STATS_CACHE = {}
+
+
+def stats_tables(band_lists, p: Params, intra: bool):
+    """Exact (61, nb) per-band (bits, sq-error) tables for a transformed
+    frame (schro_encoder_calc_estimates analog; one jitted pass evaluates
+    all 61 quant indices).  Components are summed per band.  For intra,
+    band 0 is estimated on horizontal first differences (the DC-predict
+    histogram analog, schrohistogram.c:360, measure_error_subband i-1)."""
+    nb = subband_count(p.transform_depth)
+    flats = []
+    bounds = []
+    off = 0
+    for bands in band_lists:
+        for i, b in enumerate(bands):
+            arr = jnp.asarray(b)
+            if i == 0 and intra:
+                arr = jnp.concatenate(
+                    [arr[:, :1], arr[:, 1:] - arr[:, :-1]], axis=1)
+            arr = jnp.ravel(arr)
+            flats.append(arr)
+            bounds.append((i, off, off + arr.shape[0]))
+            off += arr.shape[0]
+    flat = jnp.concatenate(flats).astype(jnp.int32)
+    key = (tuple(bounds), nb, bool(intra))
+    fn = _STATS_CACHE.get(key)
+    if fn is None:
+        QF = jnp.asarray(tables.QUANT_FACTOR, jnp.int32)
+        QO = jnp.asarray(tables.QUANT_OFFSET_1_2 if intra
+                         else tables.QUANT_OFFSET_3_8, jnp.int32)
+        from schroedinger_tpu.ops import quant as q
+
+        def run(allflat):
+            def one(base):
+                qq = q.quantise(allflat, QF[base], QO[base])
+                dq = q.dequantise(qq, QF[base], QO[base])
+                b = _sint_bits(qq).astype(jnp.float32)
+                e = jnp.square((allflat - dq).astype(jnp.float32))
+                bsum = [jnp.float32(0)] * nb
+                esum = [jnp.float32(0)] * nb
+                for bi, lo, hi in bounds:
+                    bsum[bi] = bsum[bi] + b[lo:hi].sum()
+                    esum[bi] = esum[bi] + e[lo:hi].sum()
+                return jnp.stack(bsum), jnp.stack(esum)
+
+            return jax.lax.map(one, jnp.arange(61, dtype=jnp.int32))
+
+        fn = jax.jit(run)
+        _STATS_CACHE[key] = fn
+    bits61, err61 = fn(flat)
+    return np.asarray(bits61), np.asarray(err61)
+
+
 def pick_base_qi(band_lists, p: Params, target_bits: int,
                  intra: bool, correction: float = 1.0) -> int:
     """Choose the base quant index whose estimated frame bits fit the target.
@@ -169,29 +222,245 @@ class CbrController:
             self.correction = 0.9 * self.correction + 0.1 * ratio
 
 
+class CbrControllerTM5:
+    """The reference's actual CBR rate control (enable_rdo_cbr=TRUE,
+    schroencoder.c:277-545): TM5-style per-kind complexity tracking, a
+    smoothed quality factor `qf` re-derived per subgroup from the
+    bits ~ 4*10^((qf-12)*2/5) model, and frame lambdas from qf
+    (schro_encoder_set_frame_lambda, schroencoder.c:53-133:
+    lambda = exp(0.921034*qf - 13.825), B x magic_B_lambda_scale 0.01,
+    P x magic_P_lambda_scale 0.25, intra geometric-filtered against the
+    previous intra lambda).  The quantiser then takes this lambda
+    directly (choose_quantisers_rdo_cbr); unlike a fit-the-allocation
+    pick, easy content undershoots the bitrate at stable quality."""
+
+    def __init__(self, bitrate: int, fps: float, gop_length: int,
+                 subgroup_length: int = 4,
+                 buffer_size: int = 0, buffer_level: int = 0,
+                 interlaced: bool = False,
+                 b_lambda_scale: float = 0.01,
+                 p_lambda_scale: float = 0.25,
+                 i_lambda_scale: float = 1.0):
+        self.bitrate = bitrate
+        self.gop_length = max(gop_length, 1)
+        self.sg_len = max(int(subgroup_length), 1)
+        self.buffer_size = buffer_size if buffer_size else 3 * bitrate
+        # "Set initial level at 100%" (schroencoder.c:193-196)
+        self.buffer_level = float(buffer_level if buffer_level
+                                  else self.buffer_size)
+        self.bits_per_picture = bitrate / fps / (2 if interlaced else 1)
+        self.gop_target = self.bits_per_picture * self.gop_length
+        self._total_gop_bits = self.gop_target
+        self.qf = 7.0                     # schroencoder.c:560
+        self.scales = {"I": i_lambda_scale, "P": p_lambda_scale,
+                       "B": b_lambda_scale}
+        self.intra_cbr_lambda = None      # schroencoder.c:670 (-1)
+        # initial allocations (init_rc_buffer, schroencoder.c:211-237;
+        # the reference's `2 ^ 24` is XOR = 26, kept as intended 1<<24
+        # since only the I:P:B ratio 9:3:1 matters before normalisation)
+        num_p = max(self.gop_length // self.sg_len - 1, 0)
+        num_b = max(self.gop_length - num_p - 1, 0)
+        i_a, p_a, b_a = 9.0, 3.0, 1.0
+        total = i_a + num_p * p_a + num_b * b_a
+        self.I_frame_alloc = i_a * self.gop_target / total
+        self.P_frame_alloc = p_a * self.gop_target / total
+        self.B_frame_alloc = b_a * self.gop_target / total
+        self.I_complexity = self.I_frame_alloc
+        self.P_complexity = self.P_frame_alloc
+        self.B_complexity = self.B_frame_alloc
+        self.B_complexity_sum = 0.0
+        self.subgroup_position = 1
+        self.correction = 1.0             # estimate EMA (unused by TM5)
+
+    def frame_lambda(self, kind: str) -> float:
+        lam = float(np.exp(0.921034 * self.qf - 13.825))
+        if kind == "I":
+            if self.intra_cbr_lambda is not None:
+                lam = float(np.sqrt(lam * self.intra_cbr_lambda))
+            self.intra_cbr_lambda = lam
+            return lam
+        return lam * self.scales[kind]
+
+    def _allocate(self, fnum: int) -> None:
+        """schro_encoder_cbr_allocate (schroencoder.c:279-349)."""
+        num_i = 1
+        num_p = max(self.gop_length // self.sg_len - 1, 0)
+        num_b = self.gop_length - num_i - num_p
+        occ = self.buffer_level / self.buffer_size
+        # (the reference's `(fnum+1) % 4 * sg_len` binds as ((fnum+1)%4)
+        # * sg_len -- kept as written)
+        if occ < 0.9 and (fnum + 1) % 4 == 0:
+            corr = min(0.25, 0.25 * (0.9 - occ) / 0.9)
+            self.gop_target = self._total_gop_bits * (1.0 - corr)
+        elif occ > 0.9 and (fnum + 1) % self.sg_len == 0:
+            corr = min(0.5, 0.5 * (occ - 0.9) / 0.9)
+            self.gop_target = self._total_gop_bits * (1.0 + corr)
+        min_bits = self._total_gop_bits / (100 * self.gop_length)
+        icty, pcty, bcty = (max(self.I_complexity, 1.0),
+                            max(self.P_complexity, 1.0),
+                            max(self.B_complexity, 1.0))
+        self.I_frame_alloc = max(min_bits, self.gop_target /
+                                 (num_i + num_p * pcty / icty
+                                  + num_b * bcty / icty))
+        self.P_frame_alloc = max(min_bits, self.gop_target /
+                                 (num_p + num_i * icty / pcty
+                                  + num_b * bcty / pcty)
+                                 if num_p else min_bits)
+        self.B_frame_alloc = max(min_bits, self.gop_target /
+                                 (num_b + num_i * icty / bcty
+                                  + num_p * pcty / bcty)
+                                 if num_b else min_bits)
+
+    def update(self, kind: str, num_bits: float, frame_number: int,
+               field_factor: int = 1) -> None:
+        """Buffer level + qf update after a picture is coded, in coded
+        order (schro_encoder_cbr_update, schroencoder.c:356-497)."""
+        self.buffer_level += self.bits_per_picture - num_bits
+        self.buffer_level = min(max(self.buffer_level, 0.0),
+                                float(self.buffer_size))
+
+        occ = self.buffer_level / self.buffer_size
+        fnum = frame_number // field_factor
+        if fnum <= 3 * self.sg_len:
+            filter_tap = 1.0
+        else:
+            filter_tap = ((occ - 0.9) / 0.1 if occ > 0.9
+                          else (0.9 - occ) / 0.9)
+            filter_tap = min(max(filter_tap, 0.25), 1.0)
+
+        emergency = False
+        if kind == "I":
+            self.I_complexity = num_bits
+            target = self.I_frame_alloc
+            if fnum == 0:
+                self.subgroup_position = self.sg_len + 1
+        elif kind == "B":
+            self.B_complexity_sum += num_bits
+            target = self.B_frame_alloc
+        else:
+            self.P_complexity = num_bits
+            target = self.P_frame_alloc
+        if num_bits < target / 2 or num_bits > 3 * target:
+            emergency = True
+
+        self.subgroup_position -= 1
+        if self.subgroup_position == 0 or emergency:
+            if (self.sg_len > 1
+                    and self.subgroup_position < self.sg_len - 1):
+                done = self.sg_len - 1 - self.subgroup_position
+                if done > 0 and self.B_complexity_sum > 0:
+                    self.B_complexity = self.B_complexity_sum / done
+            self._allocate(fnum)
+            tbits = (self.P_frame_alloc
+                     + (self.sg_len - 1) * self.B_frame_alloc)
+            pbits = (self.P_complexity
+                     + (self.sg_len - 1) * self.B_complexity)
+            K = (pbits ** 2) * 10.0 ** (0.4 * (12 - self.qf)) / 16.0
+            new_qf = 12 - 2.5 * np.log10(16 * K / max(tbits, 1.0) ** 2)
+            if ((abs(self.qf - new_qf) >= 0.25 or new_qf <= 4.0)
+                    and new_qf <= 8.0):
+                new_qf = filter_tap * new_qf + (1 - filter_tap) * self.qf
+            if new_qf <= 8.0:
+                if pbits < 2 * tbits:
+                    new_qf = max(new_qf, self.qf - 1.0)
+                else:
+                    new_qf = max(new_qf, self.qf - 2.0)
+            new_qf = min(new_qf, 5 + 10 * occ)
+            self.qf = float(new_qf)
+            if self.subgroup_position <= 0:
+                self.subgroup_position = self.sg_len
+                self.B_complexity_sum = 0.0
+
+
 # ---- per-subband quantiser engines (schroquantiser.c:280-316 dispatch) ----
 
-def qi_from_lambda(bits61, err61, lam: float) -> np.ndarray:
+def qi_from_lambda(bits61, err61, lam: float,
+                   band_scales=None) -> np.ndarray:
     """Per-subband quant indices minimising R + lambda*D (the reference's
     lambda weights distortion: larger lambda -> finer quantisation,
     schroquantiser.c entropy/error tradeoff).
 
     bits61/err61: (61, nb) per-base coded-bit / squared-error estimates
     (exact-stat analog of the reference's histogram estimate tables,
-    schro_encoder_calc_estimates).  Returns (nb,) int32.
+    schro_encoder_calc_estimates).  band_scales: (nb,) per-band lambda
+    multipliers (perceptual weighting, weights.band_lambda_scales;
+    schroquantiser.c:856-880).  Returns (nb,) int32.  Like the reference
+    (schro_subband_pick_quant j<60), index 60 is never picked.
     """
-    cost = np.asarray(bits61, np.float64) + lam * np.asarray(err61, np.float64)
-    return np.argmin(cost, axis=0).astype(np.int32)
+    lamv = lam * (np.asarray(band_scales, np.float64)
+                  if band_scales is not None else 1.0)
+    cost = (np.asarray(bits61, np.float64)
+            + lamv * np.asarray(err61, np.float64))
+    return np.argmin(cost[:60], axis=0).astype(np.int32)
+
+
+def lambda_for_bits(bits61, err61, target_bits: float,
+                    band_scales=None, correction: float = 1.0) -> float:
+    """Frame lambda whose RDO pick costs ~target_bits
+    (schro_encoder_entropy_to_lambda, schroquantiser.c:887-960: geometric
+    bracketing by x100 then 7-step geometric bisection)."""
+    bits61 = np.asarray(bits61, np.float64) * correction
+    err61 = np.asarray(err61, np.float64)
+    nb = bits61.shape[1]
+    idx = np.arange(nb)
+
+    def bits_at(lam):
+        qi = qi_from_lambda(bits61, err61, lam, band_scales)
+        return float(bits61[qi, idx].sum())
+
+    lam_hi = 1.0
+    bits_hi = bits_at(lam_hi)
+    if bits_hi < target_bits:
+        lam_lo, bits_lo = lam_hi, bits_hi
+        for _ in range(5):
+            lam_hi = lam_lo * 100.0
+            bits_hi = bits_at(lam_hi)
+            if bits_hi > target_bits:
+                break
+            lam_lo, bits_lo = lam_hi, bits_hi
+    else:
+        for _ in range(5):
+            lam_lo = lam_hi * 0.01
+            bits_lo = bits_at(lam_lo)
+            if bits_lo < target_bits:
+                break
+            lam_hi, bits_hi = lam_lo, bits_lo
+    if bits_lo == bits_hi:
+        return float(np.sqrt(lam_lo * lam_hi))
+    for _ in range(7):
+        if bits_hi == bits_lo:
+            break
+        lam_mid = float(np.sqrt(lam_lo * lam_hi))
+        bits_mid = bits_at(lam_mid)
+        if bits_mid < target_bits:
+            lam_lo, bits_lo = lam_mid, bits_mid
+        else:
+            lam_hi, bits_hi = lam_mid, bits_mid
+    return float(np.sqrt(lam_lo * lam_hi))
+
+
+def pick_bands_rdo(stats, target_bits: float, band_scales=None,
+                   correction: float = 1.0) -> np.ndarray:
+    """CBR per-band pick: lambda from the bit allocation, then the RD
+    argmin (choose_quantisers_rdo_cbr, schroquantiser.c:772-780). Unlike
+    fit-smallest-base this degrades gracefully: a tiny allocation gives a
+    coarse-but-balanced spend, a huge one stops at the RD knee instead of
+    near-lossless bloat."""
+    bits61, err61 = stats
+    lam = lambda_for_bits(bits61, err61, target_bits, band_scales,
+                          correction)
+    return qi_from_lambda(np.asarray(bits61, np.float64) * correction,
+                          err61, lam, band_scales)
 
 
 def lambda_for_error(bits61, err61, target_error: float,
-                     iters: int = 24) -> float:
+                     iters: int = 24, band_scales=None) -> float:
     """Bisect lambda so total squared error at the RDO choice hits the
     target (schro_encoder_error_to_lambda, schroquantiser.c:1040-1106)."""
     lo, hi = 1e-10, 1e6   # err_at is non-increasing in lambda
 
     def err_at(lam):
-        qi = qi_from_lambda(bits61, err61, lam)
+        qi = qi_from_lambda(bits61, err61, lam, band_scales)
         return float(np.asarray(err61, np.float64)[qi, np.arange(len(qi))]
                      .sum())
 
@@ -224,12 +493,13 @@ class QuantiserEngine:
 
     def __init__(self, mode: str, lam: float = 1.0,
                  noise_threshold: float = 25.0, width: int = 0,
-                 height: int = 0):
+                 height: int = 0, band_scales=None):
         self.mode = mode
         self.lam = lam
         noise_amp = 255.0 * (0.1 ** (noise_threshold * 0.05))
         self.target_error = (noise_amp ** 2) * max(width * height, 1)
         self._stats = None
+        self.band_scales = band_scales  # set by the GOP driver if None
 
     def update(self, stats) -> None:
         if stats is not None:
@@ -242,5 +512,7 @@ class QuantiserEngine:
         if self.mode == "constant_lambda":
             lam = self.lam
         else:
-            lam = lambda_for_error(bits61, err61, self.target_error)
-        return qi_from_lambda(bits61, err61, lam)
+            lam = lambda_for_error(bits61, err61, self.target_error,
+                                   band_scales=self.band_scales)
+        return qi_from_lambda(bits61, err61, lam,
+                              band_scales=self.band_scales)

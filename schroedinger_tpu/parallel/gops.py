@@ -70,6 +70,29 @@ def merge_shard_streams(streams: Sequence[bytes]) -> bytes:
     return bytes(out)
 
 
+def _validate_shard_encoder(enc) -> None:
+    """GOP sharding is byte-exact only for the stateless-across-GOPs
+    configuration: fixed-qi IPPP without content-adaptive state.  Scene
+    change detection, CBR/quantiser engines, B buffering, and the biref
+    engine all carry cross-GOP state that would silently diverge from the
+    serial encode, so they are rejected up front."""
+    problems = []
+    if getattr(enc, "enable_scene_change", False):
+        problems.append("enable_scene_change")
+    if getattr(enc, "rc", None) is not None:
+        problems.append("bitrate/CBR")
+    if getattr(enc, "qengine", None) is not None:
+        problems.append("quantiser_engine")
+    if getattr(enc, "b_frames", 0):
+        problems.append("b_frames")
+    if getattr(enc, "gop_structure", "backref") != "backref":
+        problems.append(f"gop_structure={enc.gop_structure}")
+    if problems:
+        raise ValueError(
+            "GOP sharding requires a stateless fixed-qi IPPP encoder; "
+            "unsupported options: " + ", ".join(problems))
+
+
 def _seed_shard_state(enc, start_frame: int) -> None:
     """Continue picture numbering and replicate the serial encoder's
     reference-retire counters at a GOP boundary: when the serial encoder
@@ -99,6 +122,7 @@ def encode_gops_sharded(frames: Sequence, make_encoder: Callable[[], object],
     deterministic debugging, the schroasync-none.c analog).
     """
     proto = make_encoder()
+    _validate_shard_encoder(proto)
     gop_length = gop_length or proto.gop_length
     ranges = chunk_ranges(len(frames), gop_length, n_shards)
 
@@ -132,10 +156,10 @@ def encode_gops_multihost(frames: Sequence,
                                    n_shards=shards_per_host,
                                    gop_length=gop_length)
 
-    import numpy as np
     from jax.experimental import multihost_utils
 
     proto = make_encoder()
+    _validate_shard_encoder(proto)
     gop_length = gop_length or proto.gop_length
     ranges = chunk_ranges(len(frames), gop_length, n_proc)
     pidx = jax.process_index()
@@ -146,14 +170,23 @@ def encode_gops_multihost(frames: Sequence,
         local = enc.encode_stream(frames[start:stop])
     else:
         local = b""
+    return gather_and_merge(local, n_proc,
+                            multihost_utils.process_allgather)
 
-    # gather variable-length payloads: lengths first, then padded bytes
-    lens = multihost_utils.process_allgather(
-        np.asarray([len(local)], np.int64))
+
+def gather_and_merge(local: bytes, n_proc: int, allgather) -> bytes:
+    """DCN payload gather + byte-exact merge: variable-length shard
+    streams travel as (length, zero-padded bytes) pairs through two
+    allgathers, then the parse-offset chain is rewritten across the
+    concatenation.  Split out so the padding/unpack logic is testable
+    without a multi-process jax.distributed run."""
+    import numpy as np
+
+    lens = allgather(np.asarray([len(local)], np.int64))
     max_len = int(lens.max())
     buf = np.zeros(max_len, np.uint8)
     buf[:len(local)] = np.frombuffer(local, np.uint8)
-    allbuf = multihost_utils.process_allgather(buf)
+    allbuf = allgather(buf)
     streams = [allbuf[i, :int(lens[i, 0])].tobytes()
                for i in range(n_proc) if int(lens[i, 0])]
     return merge_shard_streams(streams)

@@ -74,3 +74,45 @@ def test_multihost_single_process_fallback():
     frames = make_frames(8)
     stream = gops.encode_gops_multihost(frames, _enc)
     assert stream == _enc().encode_stream(frames)
+
+
+def test_gather_and_merge_mocked_two_process():
+    """Cover the DCN gather/padding/unpack logic with a fake allgather:
+    two simulated processes encode their chunk, 'gather', and the merged
+    stream must be byte-identical to the serial encode on both ranks."""
+    frames = make_frames(8)
+    ranges = gops.chunk_ranges(len(frames), GOP, 2)
+    locals_ = []
+    for start, stop in ranges:
+        enc = _enc()
+        gops._seed_shard_state(enc, start)
+        locals_.append(enc.encode_stream(frames[start:stop]))
+
+    def fake_allgather(arr):
+        # what each rank contributes for this collective, stacked like
+        # jax.experimental.multihost_utils.process_allgather
+        if arr.dtype == np.int64:
+            return np.stack([np.asarray([len(s)], np.int64)
+                             for s in locals_])
+        m = arr.shape[0]
+        out = np.zeros((2, m), np.uint8)
+        for i, s in enumerate(locals_):
+            out[i, :len(s)] = np.frombuffer(s, np.uint8)
+        return out
+
+    merged0 = gops.gather_and_merge(locals_[0], 2, fake_allgather)
+    merged1 = gops.gather_and_merge(locals_[1], 2, fake_allgather)
+    serial = _enc().encode_stream(frames)
+    assert merged0 == serial
+    assert merged1 == serial
+
+
+def test_shard_encoder_validation():
+    import pytest
+    frames = make_frames(4)
+
+    def bad_enc():
+        return GopEncoder(_vf(), gop_length=GOP, enable_scene_change=True)
+
+    with pytest.raises(ValueError, match="enable_scene_change"):
+        gops.encode_gops_sharded(frames, bad_enc, n_shards=2)
