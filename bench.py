@@ -56,7 +56,7 @@ def mean_psnr(decoded, frames):
     return float(np.mean(vals))
 
 
-def bench_ours(frames):
+def bench_ours(frames, bitrate=BITRATE, warmup=True, tag="ours"):
     from schroedinger_tpu.encoder.gop import GopEncoder
     from schroedinger_tpu.video_format import ChromaFormat, VideoFormat
 
@@ -66,16 +66,17 @@ def bench_ours(frames):
 
     def enc():
         return GopEncoder(vf, gop_length=GOP, mv_precision=2,
-                          bitrate=BITRATE, fps=FPS)
+                          bitrate=bitrate, fps=FPS)
 
-    t0 = time.perf_counter()
-    enc().encode_stream(frames[:2])   # compile warm-up (intra + P step)
-    log(f"warmup (incl compile): {time.perf_counter() - t0:.1f}s")
+    if warmup:
+        t0 = time.perf_counter()
+        enc().encode_stream(frames[:2])   # compile warm-up (intra + P step)
+        log(f"warmup (incl compile): {time.perf_counter() - t0:.1f}s")
     g = enc()
     t0 = time.perf_counter()
     out = g.encode_stream(frames)
     dt = time.perf_counter() - t0
-    log(f"ours long-GOP CBR: {len(frames)/dt:.3f} fps "
+    log(f"{tag} long-GOP CBR@{bitrate}: {len(frames)/dt:.3f} fps "
         f"({dt/len(frames)*1000:.0f} ms/frame), {len(out)} bytes")
     return len(frames) / dt, out
 
@@ -102,7 +103,8 @@ def main():
         log(f"oracle failed: {e!r}")
         ref_fps, ref_stream = float("nan"), b""
 
-    psnr_ours = psnr_ref = None
+    psnr_ours = psnr_ref = psnr_matched = None
+    bytes_matched = 0
     try:
         from oracle import schro_oracle as so
         psnr_ours = round(mean_psnr(so.decode(ours_stream, W, H), frames), 2)
@@ -111,6 +113,17 @@ def main():
                                        frames), 2)
         log(f"PSNR ours {psnr_ours} dB / oracle {psnr_ref} dB; "
             f"bytes ours {len(ours_stream)} / oracle {len(ref_stream)}")
+        if ref_stream and len(ours_stream) > 1.15 * len(ref_stream):
+            # equal-bytes quality check: re-run ours CBR at the oracle's
+            # achieved bitrate so the PSNR comparison is at matched spend
+            matched_rate = int(len(ref_stream) * 8 * FPS / N_FRAMES)
+            _, matched = bench_ours(frames, bitrate=matched_rate,
+                                    warmup=False, tag="ours-matched")
+            bytes_matched = len(matched)
+            psnr_matched = round(mean_psnr(so.decode(matched, W, H),
+                                           frames), 2)
+            log(f"equal-bytes: ours {psnr_matched} dB @{bytes_matched}B "
+                f"vs oracle {psnr_ref} dB @{len(ref_stream)}B")
     except Exception as e:
         log(f"psnr check failed: {e!r}")
 
@@ -122,8 +135,10 @@ def main():
                         if ref_fps == ref_fps else None),
         "psnr_ours_db": psnr_ours,
         "psnr_ref_db": psnr_ref,
+        "psnr_ours_at_ref_bytes_db": psnr_matched,
         "bytes_ours": len(ours_stream),
         "bytes_ref": len(ref_stream),
+        "bytes_ours_matched": bytes_matched,
         "bitrate": BITRATE,
         "n_frames": N_FRAMES,
     }))

@@ -45,6 +45,10 @@ class Encoder:
                  config: Optional[EncoderConfig] = None):
         self.vf = video_format
         self.cfg = config or EncoderConfig()
+        if self.cfg.get("interlaced_coding") \
+                and not video_format.interlaced_coding:
+            video_format.interlaced = True
+            video_format.interlaced_coding = True
         self.frame_number = 0
         self._out: List[bytes] = []
         self._chain = bs.OffsetChain()
@@ -78,9 +82,9 @@ class Encoder:
 
     def _init_lowdelay(self) -> None:
         depth = min(self.cfg.transform_depth,
-                    MAX_DEPTH_S16[Wavelet(self.cfg.intra_wavelet)])
+                    MAX_DEPTH_S16[Wavelet(self.cfg.enum_index("intra_wavelet"))])
         p = Params(video_format=self.vf, is_lowdelay=True, num_refs=0,
-                   wavelet_filter_index=Wavelet(self.cfg.intra_wavelet),
+                   wavelet_filter_index=Wavelet(self.cfg.enum_index("intra_wavelet")),
                    transform_depth=depth)
         if self.cfg.horiz_slices and self.cfg.vert_slices:
             p.n_horiz_slices = self.cfg.horiz_slices
@@ -102,7 +106,7 @@ class Encoder:
         self.params = p
 
     def _init_intra(self) -> None:
-        wavelet = Wavelet(self.cfg.intra_wavelet)
+        wavelet = Wavelet(self.cfg.enum_index("intra_wavelet"))
         depth = min(self.cfg.transform_depth, MAX_DEPTH_S16[wavelet])
         p = Params(video_format=self.vf, num_refs=0,
                    is_noarith=(self.profile == "vc2_simple"),
@@ -119,54 +123,94 @@ class Encoder:
             self._base_qi = _quality_to_qi(float(self.cfg.get("quality")))
 
     def _init_gop(self) -> None:
+        import math
         from schroedinger_tpu.encoder.gop import GopEncoder
-        bitrate = self.cfg.bitrate if self.cfg.rate_control == "constant_bitrate" \
+        cfg = self.cfg
+        bitrate = cfg.bitrate if cfg.rate_control == "constant_bitrate" \
             else 0
         fps = self.vf.frame_rate_numerator / self.vf.frame_rate_denominator
-        lossless = self.cfg.rate_control == "lossless"
-        qi = 0 if lossless else _quality_to_qi(float(self.cfg.get("quality")))
+        lossless = cfg.rate_control == "lossless"
+        qi = 0 if lossless else _quality_to_qi(float(cfg.get("quality")))
         qengine = None
-        if self.cfg.rate_control == "constant_lambda":
+        if cfg.rate_control == "constant_lambda":
             # frame_lambda from quality, schroencoder.c:65
-            import math
             from schroedinger_tpu.encoder.ratecontrol import QuantiserEngine
-            lam = math.exp(0.921034 * float(self.cfg.get("quality")) - 13.825)
+            lam = math.exp(0.921034 * float(cfg.get("quality")) - 13.825)
             qengine = QuantiserEngine("constant_lambda", lam=lam)
-        elif self.cfg.rate_control in ("constant_error",
-                                       "constant_noise_threshold"):
+        elif cfg.rate_control == "constant_quality":
+            # quality -> frame lambda + RDO pick, the reference's default
+            # mode (schroencoder.c:83-99, magic_error_power 4 neutral)
+            from schroedinger_tpu.encoder.ratecontrol import QuantiserEngine
+            q = float(cfg.get("quality"))
+            ep = float(cfg.get("magic_error_power"))
+            q += -3.5 * (ep - 4)
+            q *= 1.0 + (ep - 4) * 0.2
+            if ep < 2.5:
+                q += 2
+            lam = math.exp(1.6447 * q - 16.2826)
+            qengine = QuantiserEngine("constant_lambda", lam=lam)
+        elif cfg.rate_control in ("constant_error",
+                                  "constant_noise_threshold"):
             from schroedinger_tpu.encoder.ratecontrol import QuantiserEngine
             qengine = QuantiserEngine(
-                self.cfg.rate_control,
-                noise_threshold=float(self.cfg.get("noise_threshold")),
+                cfg.rate_control,
+                noise_threshold=float(cfg.get("noise_threshold")),
                 width=self.vf.width, height=self.vf.height)
-        intra_w = Wavelet(self.cfg.intra_wavelet)
-        inter_w = Wavelet(self.cfg.inter_wavelet)
+        intra_w = Wavelet(cfg.enum_index("intra_wavelet"))
+        inter_w = Wavelet(cfg.enum_index("inter_wavelet"))
         if lossless:
             # reference lossless long-GOP forces Haar-0 (schroengine.c:547)
             intra_w = inter_w = Wavelet.HAAR_0
+        magic = {k: float(cfg.get("magic_" + k)) for k in (
+            "subband0_lambda_scale", "diagonal_lambda_scale",
+            "me_lambda_scale", "I_lambda_scale", "P_lambda_scale",
+            "B_lambda_scale", "inter_cpd_scale", "keyframe_weight",
+            "inter_p_weight", "inter_b_weight", "allocation_scale",
+            "me_bailout_limit")}
         self._gop = GopEncoder(
             self.vf,
             intra_wavelet=intra_w,
             inter_wavelet=inter_w,
-            transform_depth=min(self.cfg.transform_depth, 3) if lossless
-            else self.cfg.transform_depth,
-            gop_length=min(self.cfg.au_distance, 24),
+            transform_depth=min(cfg.transform_depth, 3) if lossless
+            else cfg.transform_depth,
+            gop_length=min(cfg.au_distance, 24),
             base_qi_intra=qi,
             base_qi_inter=qi if lossless else min(60, qi + 4),
             bitrate=bitrate, fps=fps,
-            enable_md5=self.cfg.enable_md5,
-            mv_precision=self.cfg.mv_precision,
+            enable_md5=cfg.enable_md5,
+            mv_precision=cfg.mv_precision,
             # adaptive maps to the tworef engine like the reference
             # (schroencoder.c:599-604); lossless forces the backref
             # handler (schroengine.c:991-995)
             gop_structure=("biref" if not lossless
-                           and self.cfg.gop_structure in
+                           and cfg.gop_structure in
                            ("adaptive", "biref", "chained_biref")
                            else "backref"),
-            subgroup_length=int(self.cfg.get("magic_subgroup_length")),
-            enable_phasecorr=bool(
-                self.cfg.get("enable_phasecorr_estimation")),
-            quantiser_engine=qengine)
+            subgroup_length=int(cfg.get("magic_subgroup_length")),
+            enable_phasecorr=bool(cfg.get("enable_phasecorr_estimation")),
+            quantiser_engine=qengine,
+            enable_scene_change=bool(
+                cfg.get("enable_scene_change_detection")),
+            scene_change_threshold=float(
+                cfg.get("magic_scene_change_threshold")),
+            perceptual_weighting=cfg.get("perceptual_weighting"),
+            perceptual_distance=float(cfg.get("perceptual_distance")),
+            open_gop=bool(cfg.get("open_gop")),
+            enable_psnr=bool(cfg.get("enable_psnr")),
+            enable_ssim=bool(cfg.get("enable_ssim")),
+            block_size=cfg.get("motion_block_size"),
+            block_overlap=cfg.get("motion_block_overlap"),
+            codeblock_size=cfg.get("codeblock_size"),
+            enable_multiquant=bool(cfg.get("enable_multiquant")),
+            enable_dc_multiquant=bool(cfg.get("enable_dc_multiquant")),
+            filtering=cfg.get("filtering"),
+            filter_value=float(cfg.get("filter_value")),
+            rdo_cbr=bool(cfg.get("enable_rdo_cbr")),
+            buffer_size=int(cfg.get("buffer_size")),
+            buffer_level=int(cfg.get("buffer_level")),
+            pipeline_depth=max(1, min(int(cfg.get("queue_depth")) - 1, 8)),
+            downsample_levels=int(cfg.get("downsample_levels")),
+            magic=magic)
 
     # ---- push/pull ------------------------------------------------------
 

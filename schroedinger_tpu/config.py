@@ -126,41 +126,69 @@ def setting_info(i: int) -> Setting:
     return SETTINGS[i]
 
 
-@dataclasses.dataclass
 class EncoderConfig:
-    """Typed settings bag; attribute names match setting names. Enum values
-    may be given as index or name."""
-    rate_control: str = "low_delay"
-    bitrate: int = 0
-    transform_depth: int = 3
-    intra_wavelet: int = 0
-    inter_wavelet: int = 0
-    gop_structure: str = "adaptive"
-    queue_depth: int = 20
-    au_distance: int = 120
-    enable_noarith: bool = False
-    enable_md5: bool = False
-    horiz_slices: int = 0
-    vert_slices: int = 0
-    mv_precision: int = 0
-    extra: Dict[str, float] = dataclasses.field(default_factory=dict)
+    """Typed settings bag backed by the registry: every attribute name is
+    a setting name, every default IS the registry default (the reference's
+    schroencoder.c:4461-4535 values), so settings sweeps port 1:1.  Enum
+    settings read back as name strings and accept either index or name.
+
+    Note the defaults match the reference, not round-1's dataclass:
+    rate_control defaults to constant_quality (long-GOP), intra_wavelet to
+    desl_dubuc_9_7, etc.
+    """
+
+    def __init__(self, **kwargs):
+        object.__setattr__(self, "_values", {})
+        for k, v in kwargs.items():
+            self.set(k, v)
 
     def set(self, name: str, value) -> None:
         s = _BY_NAME.get(name)
         if s is None:
             raise KeyError(name)
-        if s.type == "enum" and isinstance(value, (int, float)):
-            value = int(value)
-            if hasattr(self, name) and isinstance(getattr(self, name, None), str):
-                value = s.enum_list[value]
-        if hasattr(self, name):
-            setattr(self, name, value)
+        if s.type == "enum":
+            if isinstance(value, (int, float)):
+                value = s.enum_list[int(value)]
+            elif value not in s.enum_list:
+                raise ValueError(f"{name}: unknown enum value {value!r}")
+        elif s.type == "bool":
+            value = bool(value)
+        elif s.type == "int":
+            value = int(min(max(value, s.min), s.max))
         else:
-            self.extra[name] = value
+            value = float(min(max(value, s.min), s.max))
+        self._values[name] = value
 
     def get(self, name: str):
-        if hasattr(self, name):
-            return getattr(self, name)
-        if name in self.extra:
-            return self.extra[name]
-        return _BY_NAME[name].default
+        if name in self._values:
+            return self._values[name]
+        s = _BY_NAME[name]
+        if s.type == "enum":
+            return s.enum_list[int(s.default)]
+        if s.type == "bool":
+            return bool(s.default)
+        if s.type == "int":
+            return int(s.default)
+        return s.default
+
+    def enum_index(self, name: str) -> int:
+        """Current value of an enum setting as its registry index."""
+        return _BY_NAME[name].enum_list.index(self.get(name))
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            return self.get(name)
+        except KeyError:
+            raise AttributeError(name)
+
+    def __setattr__(self, name: str, value) -> None:
+        if name.startswith("_"):
+            object.__setattr__(self, name, value)
+        else:
+            self.set(name, value)
+
+    def __repr__(self) -> str:
+        inner = ", ".join(f"{k}={v!r}" for k, v in self._values.items())
+        return f"EncoderConfig({inner})"

@@ -44,7 +44,22 @@ class GopEncoder:
                  subgroup_length: int = 4,
                  base_qi_b: Optional[int] = None,
                  perceptual_weighting: str = "ccir959",
-                 perceptual_distance: float = 4.0):
+                 perceptual_distance: float = 4.0,
+                 open_gop: bool = True,
+                 enable_psnr: bool = False,
+                 enable_ssim: bool = False,
+                 block_size: str = "automatic",
+                 block_overlap: str = "automatic",
+                 codeblock_size: str = "automatic",
+                 enable_multiquant: bool = False,
+                 enable_dc_multiquant: bool = False,
+                 filtering: str = "none",
+                 filter_value: float = 5.0,
+                 rdo_cbr: bool = True,
+                 buffer_size: int = 0,
+                 buffer_level: int = 0,
+                 downsample_levels: int = 5,
+                 magic: Optional[dict] = None):
         self.vf = video_format
         self.intra_wavelet = intra_wavelet
         self.inter_wavelet = inter_wavelet
@@ -88,14 +103,52 @@ class GopEncoder:
         self._au_frame = None     # picture number of the last AU intra
         self.perceptual_weighting = perceptual_weighting
         self.perceptual_distance = perceptual_distance
+        self.open_gop = open_gop
+        self.enable_psnr = enable_psnr
+        self.enable_ssim = enable_ssim
+        self.block_size = block_size
+        self.block_overlap = block_overlap
+        self.codeblock_size = codeblock_size
+        self.enable_multiquant = enable_multiquant
+        self.enable_dc_multiquant = enable_dc_multiquant
+        self.filtering = filtering
+        self.filter_value = filter_value
+        self.downsample_levels = downsample_levels
+        # magic_* tuning constants (schroencoder.c:4513-4535 defaults)
+        m = dict(subband0_lambda_scale=10.0, diagonal_lambda_scale=1.0,
+                 me_lambda_scale=1.0, I_lambda_scale=1.0,
+                 P_lambda_scale=0.25, B_lambda_scale=0.01,
+                 inter_cpd_scale=1.0, keyframe_weight=7.5,
+                 inter_p_weight=1.5, inter_b_weight=0.2,
+                 allocation_scale=1.1, me_bailout_limit=0.33)
+        m.update(magic or {})
+        self.magic = m
         self.rc = None
-        if bitrate:
+        if bitrate and rdo_cbr:
             from schroedinger_tpu.encoder.ratecontrol import CbrControllerTM5
             self.rc = CbrControllerTM5(
                 bitrate, fps, gop_length,
                 subgroup_length=(subgroup_length
                                  if gop_structure == "biref" else 4),
-                interlaced=video_format.interlaced_coding)
+                buffer_size=buffer_size, buffer_level=buffer_level,
+                interlaced=video_format.interlaced_coding,
+                b_lambda_scale=self.magic["B_lambda_scale"],
+                p_lambda_scale=self.magic["P_lambda_scale"],
+                i_lambda_scale=self.magic["I_lambda_scale"])
+        elif bitrate:
+            # enable_rdo_cbr=FALSE: the reference's alternative CBR path
+            # (rdo_bit_allocation engine + get_alloc reservoir curve,
+            # schroengine.c:552-637) -- per-picture bit targets from
+            # weighted allocations, lambda bisected to fit each target
+            from schroedinger_tpu.encoder.ratecontrol import CbrController
+            self.rc = CbrController(
+                bitrate, fps, gop_length,
+                buffer_size=buffer_size, buffer_level=buffer_level,
+                interlaced=video_format.interlaced_coding,
+                keyframe_weight=self.magic["keyframe_weight"],
+                inter_p_weight=self.magic["inter_p_weight"],
+                inter_b_weight=self.magic["inter_b_weight"],
+                allocation_scale=self.magic["allocation_scale"])
         if (self.qengine is not None
                 and getattr(self.qengine, "band_scales", None) is None):
             self.qengine.band_scales = self._band_scales(False)
@@ -108,18 +161,79 @@ class GopEncoder:
         p.set_default_codeblocks()
         p.set_default_quant_matrix()
         p.mv_precision = self.mv_precision if num_refs else 0
-        # adaptive block size by resolution (schroengine.c:391-430)
+
+        # motion block size/overlap (init_params, schroengine.c:410-455);
+        # "automatic" overlap maps to partial (blen = 3/2 bsep), our fused
+        # OBMC's tuned geometry, where the reference defaults to full
+        sizes = {"small": 8, "medium": 12, "large": 16}
         area = self.vf.width * self.vf.height
-        if area >= 1920 * 1080:
-            p.xblen_luma = p.yblen_luma = 24
-            p.xbsep_luma = p.ybsep_luma = 16
+        if self.block_size in sizes:
+            bsep = sizes[self.block_size]
+        elif area >= 1920 * 1080:
+            bsep = 16
         elif area >= 960 * 540:
-            p.xblen_luma = p.yblen_luma = 16
-            p.xbsep_luma = p.ybsep_luma = 12
+            bsep = 12
         else:
-            p.xblen_luma = p.yblen_luma = 12
-            p.xbsep_luma = p.ybsep_luma = 8
+            bsep = 8
+        p.xbsep_luma = p.ybsep_luma = bsep
+        if self.block_overlap == "none":
+            blen = bsep
+        elif self.block_overlap == "full":
+            blen = 2 * bsep
+        else:  # partial / automatic
+            blen = (bsep * 3 // 2) & ~3
+        p.xblen_luma = p.yblen_luma = blen
+
+        # codeblock_size (schroengine.c:459-505): small/medium target
+        # ~5x5 / ~8x8 coefficient blocks, large = spec defaults (the
+        # set_default_codeblocks above), full = one block per subband
+        if self.codeblock_size in ("small", "medium"):
+            denom = 5 if self.codeblock_size == "small" else 8
+            for i in range(self.depth + 1):
+                shift = self.depth if i == 0 else self.depth + 1 - i
+                p.horiz_codeblocks[i] = max(
+                    1, (p.iwt_luma_width >> shift) // denom)
+                p.vert_codeblocks[i] = max(
+                    1, (p.iwt_luma_height >> shift) // denom)
+        elif self.codeblock_size == "full":
+            for i in range(self.depth + 1):
+                p.horiz_codeblocks[i] = 1
+                p.vert_codeblocks[i] = 1
+        if not self.enable_dc_multiquant:
+            # reference decoder-compat workaround (schroengine.c:508-511)
+            p.horiz_codeblocks[0] = 1
+            p.vert_codeblocks[0] = 1
+        # schroengine.c:517-521: multiquant picks the per-codeblock
+        # quant-delta codeblock mode
+        p.codeblock_mode_index = 1 if self.enable_multiquant else 0
         return p
+
+    def _prefilter(self, planes):
+        """Encoder prefilter dispatch (schroencoder.c:2211-2234)."""
+        if self.filtering in ("none", 0, None):
+            return planes
+        from schroedinger_tpu.ops.filters import apply_prefilter
+        return tuple(np.asarray(pl) for pl in
+                     apply_prefilter(planes, self.filtering,
+                                     self.filter_value))
+
+    def _quality_metrics(self, recon, planes) -> dict:
+        """Optional postanalyse (schroencoder.c:2729-2752): luma PSNR and
+        SSIM of the coded reconstruction vs the (prefiltered) input."""
+        out = {}
+        if recon is None or (not self.enable_psnr
+                             and not self.enable_ssim):
+            return out
+        rec = np.asarray(recon[0], np.float64)
+        src = np.asarray(planes[0], np.float64)
+        if self.enable_psnr:
+            mse = np.mean((rec - src) ** 2)
+            out["psnr"] = round(99.0 if mse == 0
+                                else 10 * np.log10(255.0 ** 2 / mse), 3)
+        if self.enable_ssim:
+            from schroedinger_tpu.ops.metrics import ssim
+            out["ssim"] = round(float(ssim(src, rec)), 4)
+        return out
 
     def _scene_change_score(self, planes) -> float:
         """MAD vs previous input, downsampled 4x (schroencoder.c:1909
@@ -141,6 +255,7 @@ class GopEncoder:
         Interlaced coding: the frame splits into two field pictures
         (schro_encoder_push_frame_full, schroencoder.c:1072-1110) coded
         back to back; the second field predicts from the first."""
+        planes = self._prefilter(planes)
         if self.gop_structure == "biref":
             if self._pends2 is None:
                 from collections import deque
@@ -210,15 +325,17 @@ class GopEncoder:
         host entropy coding of frame N runs, so TPU compute and C++ arith
         coding overlap.
 
-        CBR and the quantiser engines stay pipelined: each P frame's quant
-        choice uses the newest *finished* frame's stat tables (feedback lag
-        = pipeline depth, the analog of the reference's strictly-ordered
-        quant_slot chain, schroencoder.c:2110-2142, traded for overlap; the
-        buffer model absorbs the lag).  Only B-frame buffering falls back
-        to the serial path (the tworef engine supersedes it)."""
+        CBR (TM5) and constant_lambda stay pipelined with ZERO stat lag:
+        the per-band RD pick runs on device against each frame's own stat
+        tables; only the TM5 qf crosses pictures (the reference's
+        strictly-ordered quant_slot, schroencoder.c:2110-2142, carries
+        exactly the same state).  constant_error keeps a lagged host pick.
+        Only legacy B-frame buffering falls back to the serial path (the
+        tworef engine supersedes it)."""
         from schroedinger_tpu.encoder import inter as ei_inter
         if self.gop_structure == "biref":
             return self._encode_stream_biref(frames)
+        frames = (self._prefilter(f) for f in frames)
         if self.field_factor == 2:
             from schroedinger_tpu import frontends as ff
             frames = [fld for fr in frames
@@ -260,11 +377,14 @@ class GopEncoder:
                 # engages from the 2nd P
                 out += self._finish_pending(pends.popleft())
                 qargs = self._quant_args("P", p)
-            meta = (num, self.last_ref, self.prev_ref, sc)
+            keep = planes if (self.enable_psnr or self.enable_ssim) \
+                else None
+            meta = (num, self.last_ref, self.prev_ref, sc, keep)
             pending = ei_inter.start_inter_picture(
                 planes, p, self.ref_frames[self.last_ref],
                 base_qi=self.base_qi_inter,
-                use_phasecorr=self.enable_phasecorr, **qargs)
+                use_phasecorr=self.enable_phasecorr,
+                me_levels=self.downsample_levels, **qargs)
             if pends:
                 ei_inter.prefetch_pending(pends[-1][0])
             # the new recon/upsample device handles become the reference
@@ -296,7 +416,9 @@ class GopEncoder:
         return band_lambda_scales(
             self.intra_wavelet if intra else self.inter_wavelet,
             self.depth, self.perceptual_weighting, cpd_h, cpd_v,
-            intra=intra)
+            inter_cpd_scale=self.magic["inter_cpd_scale"], intra=intra,
+            subband0_scale=self.magic["subband0_lambda_scale"],
+            diagonal_scale=self.magic["diagonal_lambda_scale"])
 
     def _quant_args(self, kind: str, p: Params) -> dict:
         """kwargs for start_inter_picture's quant selection: the on-device
@@ -314,10 +436,33 @@ class GopEncoder:
             return {"qi_bands_override": self.qengine.pick(),
                     "want_stats": True}
         if self.rc is not None:
-            return {"lam_bands": (self.rc.frame_lambda(kind)
-                                  * self._band_scales(False)),
-                    "me_lam": self._me_lam()}
+            if hasattr(self.rc, "frame_lambda"):   # TM5 (enable_rdo_cbr)
+                return {"lam_bands": (self.rc.frame_lambda(kind)
+                                      * self._band_scales(False)),
+                        "me_lam": self._me_lam()}
+            # allocation engine: host pick against lagged stat tables
+            stats = (self._last_stats or self._stats_by_kind.get(kind)
+                     or self._stats_by_kind.get("P")
+                     or self._stats_by_kind.get("B"))
+            qi = None
+            if stats is not None:
+                from schroedinger_tpu.encoder.ratecontrol import \
+                    pick_bands_rdo
+                qi = pick_bands_rdo(stats,
+                                    self.rc.frame_target(kind=kind),
+                                    band_scales=self._band_scales(False),
+                                    correction=self.rc.correction)
+            return {"qi_bands_override": qi, "want_stats": True}
         return {}
+
+    def _rc_update(self, kind: str, bits: int, num: int,
+                   est: float = None) -> None:
+        if self.rc is None:
+            return
+        if hasattr(self.rc, "frame_lambda"):
+            self.rc.update(kind, bits, num, self.field_factor)
+        else:
+            self.rc.update(bits, est)
 
     def _me_lam(self) -> float:
         """Mode-decision lambda (frame_me_lambda analog): tracks the
@@ -326,7 +471,8 @@ class GopEncoder:
         qi = getattr(self, "_last_max_qi", None)
         if qi is None:
             qi = self.base_qi_inter
-        return float(tables.QUANT_FACTOR[min(int(qi), 60)]) / 8.0
+        return (float(tables.QUANT_FACTOR[min(int(qi), 60)]) / 8.0
+                * self.magic["me_lambda_scale"])
 
     # ---- tworef/BBBP engine --------------------------------------------
     # TPU-first re-expression of the reference's tworef GOP machinery
@@ -404,8 +550,14 @@ class GopEncoder:
                        and sc > self.scene_change_threshold
                        and self._refbuf)
                 if is_au:
-                    if j + 1 <= n:
+                    # open GOP: the AU frame ends the subgroup as its
+                    # intra last picture (preceding B's reference it
+                    # forward); closed GOP cuts before it so no picture
+                    # crosses the AU (schroengine.c:729-736)
+                    if self.open_gop or j == 0:
                         take, last_is_intra = j + 1, True
+                    else:
+                        take, last_is_intra = j, False
                     break
                 if cut:
                     if j == 0:
@@ -463,8 +615,10 @@ class GopEncoder:
             base_qi=self.base_qi_inter,
             use_phasecorr=self.enable_phasecorr,
             ref2=(self.ref_frames[ref1] if ref1 is not None else None),
-            want_recon=True, **self._quant_args("P", p))
-        meta = (num, refs, retire, True, "P", sc)
+            want_recon=True, me_levels=self.downsample_levels,
+            **self._quant_args("P", p))
+        keep = planes if (self.enable_psnr or self.enable_ssim) else None
+        meta = (num, refs, retire, True, "P", sc, keep)
         self.ref_frames[num] = RefFrame(tuple(pending["recon"]),
                                         upsampled=None)
         self._retire_and_add(retire, num)
@@ -485,8 +639,12 @@ class GopEncoder:
             base_qi=self.base_qi_b,
             use_phasecorr=self.enable_phasecorr,
             ref2=self.ref_frames[ref1],
-            want_recon=self.enable_md5, **self._quant_args("B", p))
-        meta = (num, refs, None, False, "B", sc)
+            want_recon=(self.enable_md5 or self.enable_psnr
+                        or self.enable_ssim),
+            me_levels=self.downsample_levels,
+            **self._quant_args("B", p))
+        keep = planes if (self.enable_psnr or self.enable_ssim) else None
+        meta = (num, refs, None, False, "B", sc, keep)
         self._pends2.append((pending, meta))
         return self._drain_pends2()
 
@@ -504,7 +662,7 @@ class GopEncoder:
 
     def _finish_pending2(self, pend) -> bytes:
         from schroedinger_tpu.encoder import inter as ei_inter
-        pending, (num, refs, retired, is_ref, kind, sc) = pend
+        pending, (num, refs, retired, is_ref, kind, sc, keep) = pend
         unit, stats = ei_inter.finish_inter_picture(
             pending, num, refs[0], is_ref=is_ref, retired=retired,
             ref2_num=refs[1] if len(refs) > 1 else None)
@@ -515,7 +673,12 @@ class GopEncoder:
         if pending.get("qi_bands") is not None and kind != "B":
             self._last_max_qi = int(np.max(pending["qi_bands"]))
         if self.rc is not None:
-            self.rc.update(kind, len(unit) * 8, num, self.field_factor)
+            est = None
+            if stats is not None and pending.get("qi_bands") is not None:
+                from schroedinger_tpu.encoder.ratecontrol import \
+                    estimate_bits_at
+                est = estimate_bits_at(stats[0], pending["qi_bands"])
+            self._rc_update(kind, len(unit) * 8, num, est)
         units = []
         if self.enable_md5 and pending["recon"] is not None:
             from schroedinger_tpu.coding import native as _native
@@ -526,13 +689,16 @@ class GopEncoder:
         units.append(unit)
         self.stats.record(frame=num, intra=False, b_picture=(kind == "B"),
                           bits=len(unit) * 8, sc_score=round(sc, 3),
+                          dc_ratio=round(pending.get("dc_ratio", 0.0), 3),
                           buffer_level=(self.rc.buffer_level if self.rc
-                                        else None))
+                                        else None),
+                          **(self._quality_metrics(pending["recon"], keep)
+                             if keep is not None else {}))
         return self._chain.add(units)
 
     def _finish_pending(self, pend) -> bytes:
         from schroedinger_tpu.encoder import inter as ei_inter
-        pending, (num, ref_num, retired, sc) = pend
+        pending, (num, ref_num, retired, sc, keep) = pend
         unit, stats = ei_inter.finish_inter_picture(pending, num, ref_num,
                                                     is_ref=True,
                                                     retired=retired)
@@ -543,7 +709,12 @@ class GopEncoder:
         if pending.get("qi_bands") is not None:
             self._last_max_qi = int(np.max(pending["qi_bands"]))
         if self.rc is not None:
-            self.rc.update("P", len(unit) * 8, num, self.field_factor)
+            est = None
+            if stats is not None and pending.get("qi_bands") is not None:
+                from schroedinger_tpu.encoder.ratecontrol import \
+                    estimate_bits_at
+                est = estimate_bits_at(stats[0], pending["qi_bands"])
+            self._rc_update("P", len(unit) * 8, num, est)
         units = []
         if self.enable_md5:
             from schroedinger_tpu.coding import native as _native
@@ -553,7 +724,10 @@ class GopEncoder:
                                         for pl in pending["recon"]))))
         units.append(unit)
         self.stats.record(frame=num, intra=False, bits=len(unit) * 8,
-                          sc_score=round(sc, 3), buffer_level=None)
+                          sc_score=round(sc, 3), buffer_level=None,
+                          dc_ratio=round(pending.get("dc_ratio", 0.0), 3),
+                          **(self._quality_metrics(pending["recon"], keep)
+                             if keep is not None else {}))
         return self._chain.add(units)
 
     def _encode_b(self, planes, num, ref1_num, ref2_num) -> bytes:
@@ -561,7 +735,9 @@ class GopEncoder:
         p = self._params(2)
         target = None
         if self.rc:
-            target = self.rc.B_frame_alloc
+            target = (self.rc.B_frame_alloc
+                      if hasattr(self.rc, "frame_lambda")
+                      else self.rc.frame_target(kind="B"))
         unit = encode_b_picture(planes, p, num, ref1_num,
                                 self.ref_frames[ref1_num], ref2_num,
                                 self.ref_frames[ref2_num],
@@ -570,7 +746,7 @@ class GopEncoder:
                                 rc_correction=self.rc.correction
                                 if self.rc else 1.0)
         if self.rc:
-            self.rc.update("B", len(unit) * 8, num, self.field_factor)
+            self._rc_update("B", len(unit) * 8, num)
         self.stats.record(frame=num, intra=False, b_picture=True,
                           bits=len(unit) * 8)
         return self._chain.add([unit])
@@ -586,7 +762,14 @@ class GopEncoder:
             nb = subband_count(p.transform_depth)
             qm = np.asarray(p.quant_matrix[:nb], np.int32)
             qi_bands = np.clip(self.base_qi_intra - qm, 0, 60)
-            if self.rc:
+            intra_lambda = None
+            if (self.qengine is not None
+                    and self.qengine.mode == "constant_lambda"):
+                # rdo_lambda intra: frame lambda x magic_I_lambda_scale
+                # (schroencoder.c:128-130)
+                intra_lambda = (self.qengine.lam
+                                * self.magic["I_lambda_scale"])
+            if self.rc or intra_lambda is not None:
                 import jax.numpy as jnp
                 from schroedinger_tpu.coding import slices as sl
                 from schroedinger_tpu.encoder.lowdelay import (_forward_jit,
@@ -603,9 +786,21 @@ class GopEncoder:
                                        p.wavelet_filter_index)
                     band_lists.append(sl.subband_arrays(pyr, p.transform_depth))
                 stats = stats_tables(band_lists, p, intra=True)
-                qi_bands = qi_from_lambda(stats[0], stats[1],
-                                          self.rc.frame_lambda("I"),
-                                          band_scales=self._band_scales(True))
+                if intra_lambda is not None:
+                    qi_bands = qi_from_lambda(
+                        stats[0], stats[1], intra_lambda,
+                        band_scales=self._band_scales(True))
+                elif hasattr(self.rc, "frame_lambda"):
+                    qi_bands = qi_from_lambda(
+                        stats[0], stats[1], self.rc.frame_lambda("I"),
+                        band_scales=self._band_scales(True))
+                else:
+                    from schroedinger_tpu.encoder.ratecontrol import \
+                        pick_bands_rdo
+                    qi_bands = pick_bands_rdo(
+                        stats, self.rc.frame_target(True),
+                        band_scales=self._band_scales(True),
+                        correction=self.rc.correction)
             qis = {}
             for comp in range(3):
                 for i in range(nb):
@@ -619,21 +814,31 @@ class GopEncoder:
                                                   return_recon=True)
             up = None
             if self.rc:
-                self.rc.update("I", len(unit) * 8, num, self.field_factor)
+                self._rc_update("I", len(unit) * 8, num)
         else:
             p = self._params(1)
-            unit, recon, used_qi, stats, up = ei_inter.encode_inter_picture(
+            (unit, recon, used_qi, stats, up,
+             dc_ratio) = ei_inter.encode_inter_picture(
                 planes, p, num, self.last_ref, self.ref_frames[self.last_ref],
                 base_qi=self.base_qi_inter, is_ref=True,
                 retired=retired, target_bits=None,
                 use_phasecorr=self.enable_phasecorr,
+                me_levels=self.downsample_levels,
                 **self._quant_args("P", p))
+            if dc_ratio > self.magic.get("me_bailout_limit", 0.33):
+                # intra bailout (schroencoder.c:2373-2384): motion
+                # compensation failed for most blocks -> code this
+                # picture as intra instead (same number/retire, so any
+                # dependent picture numbering is unaffected)
+                return self._encode_ref(planes, num, True, sc_score,
+                                        retired=retired,
+                                        manage_refs=manage_refs)
             if self.qengine:
                 self.qengine.update(stats)
             if stats is not None:
                 self._last_stats = stats
             if self.rc:
-                self.rc.update("P", len(unit) * 8, num, self.field_factor)
+                self._rc_update("P", len(unit) * 8, num)
         if self.enable_md5:
             from schroedinger_tpu.coding import native as _native
             units.append(bs.make_aux_unit(
@@ -651,6 +856,7 @@ class GopEncoder:
             self.frame_number += 1
         self.stats.record(frame=num, intra=bool(is_intra),
                           bits=len(unit) * 8, sc_score=round(sc_score, 3),
+                          **self._quality_metrics(recon, planes),
                           buffer_level=(self.rc.buffer_level if self.rc
                                         else None))
         return self._chain.add(units)

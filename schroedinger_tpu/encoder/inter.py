@@ -437,10 +437,13 @@ def make_rd_split_body(p: Params):
         d0s, d1s, d2s = dcs(ms, iavg(pool2(pool2(mean_u)), 16),
                             iavg(pool2(pool2(mean_v)), 16))
 
-        # per-granularity mode (integer form of sad_dc * 1.1 < sad_mc)
-        mc2 = (sad_dc * 11 < sad_mc * 10).astype(jnp.int32)
-        mcq = (sad_dc_q * 11 < sad_q * 10).astype(jnp.int32)
-        mcs = (sad_dc_s * 11 < sad_s * 10).astype(jnp.int32)
+        # per-granularity mode: MC wins unless DC is >=10% better (the
+        # 1.1 factor is the DC-distortion penalty, mirroring the
+        # reference's magic_dc_metric_offset bias toward MC; integer form
+        # of sad_mc < sad_dc * 1.1)
+        mc2 = (sad_mc * 10 < sad_dc * 11).astype(jnp.int32)
+        mcq = (sad_q * 10 < sad_dc_q * 11).astype(jnp.int32)
+        mcs = (sad_s * 10 < sad_dc_s * 11).astype(jnp.int32)
 
         sdy_b, sdx_b = e4(sdy), e4(sdx)
         bits2 = 1 + jnp.where(mc2 == 1,
@@ -658,7 +661,8 @@ _P_FIELD_ORDER = ("split", "pred_mode", "using_global", "dx1", "dy1",
 
 
 def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
-                want_recon: bool = True, rdo_pick: bool = False):
+                want_recon: bool = True, rdo_pick: bool = False,
+                me_levels: int = 5):
     """One fused jitted program for a whole inter picture (TPU-first analog
     of the reference's per-stage encoder lifecycle, schroencoder.c:2500-2700):
 
@@ -680,7 +684,7 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
     key = ("pstep",) + vf.picture_luma_size() + (p.transform_depth,
            int(p.wavelet_filter_index), vf.chroma_format, p.mv_precision,
            p.xbsep_luma, p.ybsep_luma, p.xblen_luma, p.yblen_luma, n_extra,
-           want_stats, num_refs, want_recon, rdo_pick)
+           want_stats, num_refs, want_recon, rdo_pick, me_levels)
     hit = _ME_CACHE.get(key)
     if hit is not None:
         return hit
@@ -709,7 +713,8 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
 
     pw0, ph0 = vf.picture_luma_size()
     me_body = me_mod.make_me_body(ph0, pw0, p.xbsep_luma,
-                                  p.ybsep_luma, xnb, ynb, n_extra=n_extra)
+                                  p.ybsep_luma, xnb, ynb,
+                                  levels=me_levels, n_extra=n_extra)
     subpel_body = (me_mod.make_subpel_body(
         ph0, pw0, p.xbsep_luma, p.ybsep_luma, xnb, ynb,
         p.mv_precision) if p.mv_precision > 0 else None)
@@ -901,6 +906,7 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
     layout = {
         "n_fields": n_fields, "yb": ynb, "xb": xnb, "nb": nb,
         "sizes_lo": sizes_lo, "sizes_hi": sizes_hi,
+        "raw_step": step,  # unjitted body for shard_map composition
     }
     fns = (jax.jit(step), shapes3, layout)
     _ME_CACHE[key] = fns
@@ -970,7 +976,8 @@ def start_inter_picture(planes_u8, p: Params, ref1: RefFrame,
                         want_stats: bool = False,
                         ref2: Optional[RefFrame] = None,
                         want_recon: bool = True,
-                        lam_bands=None, me_lam: float = None) -> dict:
+                        lam_bands=None, me_lam: float = None,
+                        me_levels: int = 5) -> dict:
     """Dispatch the fused inter step for one picture (async: XLA queues the
     work; nothing blocks). The returned pending dict carries the device
     handles — `recon`/`up` are usable as the next frame's reference
@@ -993,7 +1000,8 @@ def start_inter_picture(planes_u8, p: Params, ref1: RefFrame,
     stepfn, shapes3, layout = _get_p_step(p, n_extra=n_extra,
                                           want_stats=want_stats,
                                           want_recon=want_recon,
-                                          rdo_pick=rdo_pick)
+                                          rdo_pick=rdo_pick,
+                                          me_levels=me_levels)
     if rdo_pick:
         qi_bands = None
     elif qi_bands_override is not None:
@@ -1066,6 +1074,9 @@ def finish_inter_picture(pending: dict, frame_number: int, ref1_num: int,
         pending["qi_bands"] = qi_bands
     mv = {k: np.ascontiguousarray(f16[i].astype(np.int32))
           for i, k in enumerate(_P_FIELD_ORDER)}
+    # DC-block ratio: the reference's intra-bailout / badblock signal
+    # (schro_motionest statistics, schroencoder.c:2373-2384)
+    pending["dc_ratio"] = float(np.mean(mv["pred_mode"] == 0))
     los = []
     for n in lay["sizes_lo"]:
         los.append(np.frombuffer(wire, np.int8, n, off))
@@ -1105,7 +1116,8 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
                          use_phasecorr: bool = False,
                          qi_bands_override=None,
                          want_stats: bool = False,
-                         lam_bands=None, me_lam: float = None):
+                         lam_bands=None, me_lam: float = None,
+                         me_levels: int = 5):
     """Encode one P picture. Returns (parse_unit_bytes, recon_planes,
     used_base_qi, stats, up_planes) where stats is (bits61, err61)
     per-subband estimate tables from the fused path (None on the CBR
@@ -1125,10 +1137,12 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
                                    use_phasecorr=use_phasecorr,
                                    qi_bands_override=qi_bands_override,
                                    want_stats=want_stats,
-                                   lam_bands=lam_bands, me_lam=me_lam)
+                                   lam_bands=lam_bands, me_lam=me_lam,
+                                   me_levels=me_levels)
         unit, stats = finish_inter_picture(pend, frame_number, ref1_num,
                                            is_ref=is_ref, retired=retired)
-        return unit, pend["recon"], base_qi, stats, pend["up"]
+        return unit, pend["recon"], base_qi, stats, pend["up"], \
+            pend.get("dc_ratio", 0.0)
     mv = estimate_motion(planes_u8, ref1, p, use_phasecorr=use_phasecorr)
     preds = render_prediction(mv, p, ref1)
     tfn, rcfn, qrfn, shapes3 = _get_p_pipeline(p, want_recon=True)
@@ -1143,7 +1157,7 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
     recon_planes = outs[3:]              # stays on device
     unit = _write_p_unit(p, frame_number, [ref1_num], is_ref, retired, mv,
                          host_q, shapes3, qi_bands)
-    return unit, tuple(recon_planes), base_qi, None, None
+    return unit, tuple(recon_planes), base_qi, None, None, 0.0
 
 
 def _write_p_unit(p: Params, frame_number: int, refs, is_ref: bool,

@@ -127,20 +127,45 @@ def make_me_fn(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                                  refine_radius, n_extra))
 
 
+def _median3x3_field(f):
+    """Per-block 3x3 median of an MV component field (edge-clamped):
+    a data-parallel stand-in for the reference's spatially-predicted
+    candidate (schromotionest.c:520-695 'predicted' entry) — outlier
+    blocks inherit their neighborhood's consensus vector."""
+    h, w = f.shape
+    taps = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+            xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+            taps.append(f[ys[:, None], xs[None, :]])
+    return jnp.sort(jnp.stack(taps), axis=0)[4]
+
+
 def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
-                 levels=3, coarse_radius=8, refine_radius=2, n_extra=0):
+                 levels=3, coarse_radius=8, refine_radius=2, n_extra=0,
+                 max_levels_cap=True):
     """Build the raw (traceable) ME: (cur_y u8, ref_y u8) -> (dy, dx, sad)
     per block (pel); compose inside larger jitted programs.
 
+    Candidate set per block at the final level mirrors the reference's
+    list {scan/hierarchy, predicted, zero, global/phasecorr}
+    (schroencoder.h:421-440): the hierarchy result competes against the
+    ZERO vector (with the reference's zero bias) and the 3x3-median
+    'predicted' field; n_extra adds injected candidates (phase
+    correlation / global motion).  The winner gets a local rescan.
+
     With n_extra > 0 the function takes a third argument, an (n_extra, 2)
-    int32 array of (dy, dx) full-pel candidates (e.g. phase-correlation
-    vectors, schro_motionest_superblock_phasecorr1 analog): each block takes
-    whichever of {hierarchy result, candidates} has the lowest SAD, then a
-    local rescan recovers per-block detail around the winner — so large
-    global/secondary motions beyond the pyramid's reach are still found.
+    int32 array of (dy, dx) full-pel candidates.
     """
     pad_h = ybsep * y_num_blocks
     pad_w = xbsep * x_num_blocks
+
+    # cap pyramid depth so the coarsest level still holds >= 2x2 blocks
+    # of >= 4 px (downsample_levels setting, schromotionest.h:20)
+    if max_levels_cap:
+        while levels > 1 and (min(pad_h, pad_w) >> (levels - 1)) < 16:
+            levels -= 1
 
     margin = ME_BOUND_PEL + 2 * max(coarse_radius, refine_radius) + 16
 
@@ -192,31 +217,51 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                 mv = jnp.stack([my, mx], axis=-1)
 
         mv = jnp.clip(mv, -ME_BOUND_PEL, ME_BOUND_PEL)
+
+        # final-level candidate competition: hierarchy vs zero vs the
+        # median-'predicted' field (+ injected candidates), then a local
+        # rescan around the winner (schromotionest.c:520-695 analog)
+        h, w = pyr_c[0].shape
+        h = h // ybsep * ybsep
+        w = w // xbsep * xbsep
+        c0 = pyr_c[0][:h, :w]
+        r0 = pyr_r[0][:h, :w]
+        nby, nbx = h // ybsep, w // xbsep
+        cb = _to_blocks(c0.astype(jnp.int32), nby, ybsep, nbx, xbsep)
+        P = _pad_ref(r0, margin)
+
+        med = jnp.stack([_median3x3_field(mv[..., 0]),
+                         _median3x3_field(mv[..., 1])], axis=-1)
+        zero = jnp.zeros_like(mv)
+
+        def sad_at(field):
+            pat = _extract_ref_patches(P, field[..., 0], field[..., 1],
+                                       nby, nbx, ybsep, xbsep, 0, margin)
+            v = pat[:, :ybsep, :xbsep]
+            return jnp.abs(cb - v).sum((1, 2)).reshape(nby, nbx)
+
+        cand_mvs = [mv, med, zero]
+        # the reference biases toward zero/predicted ("gravity",
+        # schrometric.c:122): a small per-pel bias keeps the smooth/zero
+        # candidate when SADs are close, which costs fewer MV bits
+        bias = ybsep * xbsep // 16
+        cand_sads = [sad, sad_at(med) - bias, sad_at(zero) - bias]
         if n_extra:
-            # compare the hierarchy result against the uniform candidates
-            h, w = pyr_c[0].shape
-            h = h // ybsep * ybsep
-            w = w // xbsep * xbsep
-            c0 = pyr_c[0][:h, :w]
-            r0 = pyr_r[0][:h, :w]
-            nby, nbx = h // ybsep, w // xbsep
             ext = jnp.clip(extra, -ME_BOUND_PEL, ME_BOUND_PEL)
             ext_sads = _block_sads(c0, r0, ybsep, xbsep, ext)
-            all_sads = jnp.concatenate([sad[None], ext_sads], axis=0)
-            all_mvs = jnp.concatenate(
-                [mv[None],
-                 jnp.broadcast_to(ext[:, None, None, :],
-                                  (n_extra, nby, nbx, 2))], axis=0)
-            best = jnp.argmin(all_sads, axis=0)          # (nby, nbx)
-            mv = jnp.take_along_axis(
-                all_mvs, best[None, ..., None], axis=0)[0]
-            # local rescan around the winner
-            cb = _to_blocks(c0.astype(jnp.int32), nby, ybsep, nbx, xbsep)
-            P = _pad_ref(r0, margin)
-            my, mx, sad = _patch_refine(cb, P, mv[..., 0], mv[..., 1],
-                                        nby, nbx, ybsep, xbsep,
-                                        refine_radius, margin)
-            mv = jnp.stack([my, mx], axis=-1)
+            for k in range(n_extra):
+                cand_mvs.append(jnp.broadcast_to(ext[k][None, None, :],
+                                                 (nby, nbx, 2)))
+                cand_sads.append(ext_sads[k])
+        all_sads = jnp.stack(cand_sads)
+        all_mvs = jnp.stack(cand_mvs)
+        best = jnp.argmin(all_sads, axis=0)              # (nby, nbx)
+        mv = jnp.take_along_axis(all_mvs, best[None, ..., None], axis=0)[0]
+        # radius-1 polish only: the hierarchy candidate is already
+        # refined at full resolution, so this mostly serves med/zero wins
+        my, mx, sad = _patch_refine(cb, P, mv[..., 0], mv[..., 1],
+                                    nby, nbx, ybsep, xbsep, 1, margin)
+        mv = jnp.stack([my, mx], axis=-1)
         return mv[..., 0], mv[..., 1], sad
 
     return me

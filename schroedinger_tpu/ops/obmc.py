@@ -249,8 +249,12 @@ def render_component(mv_dx, mv_dy, mv_dx2, mv_dy2, pred_mode, dc,
                      xblen, yblen, xbsep, ybsep, mv_precision,
                      ref1_weight, ref2_weight, ref_weight_precision,
                      out_h, out_w, h_shift=0, v_shift=0,
-                     using_global=None, gm1=None, gm2=None):
+                     using_global=None, gm1=None, gm2=None, row0=0):
     """Render one component's OBMC prediction (s16, already offset -128).
+
+    row0: global row of the first output row — set by the tile-sharded
+    render (parallel/tiles.py) so each device computes its own output
+    band with all block/weight/global-motion math in global coordinates.
 
     Phase-decomposed formulation: blocks split into 2x2 parity phases; in
     each phase every pixel is covered by at most one block, so the whole
@@ -277,7 +281,7 @@ def render_component(mv_dx, mv_dy, mv_dx2, mv_dy2, pred_mode, dc,
     # 1-D ramp profiles within a block + picture-edge overrides
     wx_prof = jnp.asarray(_ramp_weights(xblen, xoffset))
     wy_prof = jnp.asarray(_ramp_weights(yblen, yoffset))
-    ys = jnp.arange(out_h)
+    ys = row0 + jnp.arange(out_h)
     xs = jnp.arange(out_w)
 
     acc = jnp.zeros((out_h, out_w), jnp.int32)

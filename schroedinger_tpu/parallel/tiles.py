@@ -125,3 +125,101 @@ def make_sharded_inverse(mesh: Mesh, depth: int, wavelet: Wavelet,
     fn = shard_map(body, mesh=mesh, in_specs=P(axis, None),
                    out_specs=P(axis, None), check_rep=False)
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Tile-sharded half-pel upsample and OBMC render (SURVEY §2.3.5: the
+# upsample's 8-tap vertical support is a 3/4-row halo; OBMC reads the
+# *reference* planes, which are replicated across the tile axis like any
+# codec's reference frames, while the rendered output rows are sharded).
+# ---------------------------------------------------------------------------
+
+def _row_halo(x, lo: int, hi: int, axis_name: str):
+    """Extend a row-sharded tile with `lo` rows from the previous device
+    and `hi` rows from the next, replicating the global edge rows at the
+    global boundaries (the upsample filter's clamp semantics)."""
+    n_dev = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    parts = []
+    if lo:
+        edge = x[-lo:, :]
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        recv = jax.lax.ppermute(edge, axis_name, perm)  # prev dev's tail
+        first = jnp.repeat(x[:1, :], lo, axis=0)
+        parts.append(jnp.where(idx == 0, first, recv))
+    parts.append(x)
+    if hi:
+        edge = x[:hi, :]
+        perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        recv = jax.lax.ppermute(edge, axis_name, perm)  # next dev's head
+        last = jnp.repeat(x[-1:, :], hi, axis=0)
+        parts.append(jnp.where(idx == n_dev - 1, last, recv))
+    return jnp.concatenate(parts, axis=0)
+
+
+def make_sharded_upsample(mesh: Mesh, axis: str = "tile"):
+    """jit(fn(plane)): row-sharded u8 plane -> row-sharded (2h, 2w)
+    interleaved half-pel plane, bit-identical to
+    obmc.make_halfpel(obmc.upsample_plane(plane)).  The vertical 8-tap
+    filter (taps at -3..+4 rows) exchanges a 3/4-row halo; the horizontal
+    passes and the reference's last-row/col overrides are local (the
+    overrides apply only on the globally-last device)."""
+    from schroedinger_tpu.ops import obmc
+
+    def body(x):
+        n_dev = jax.lax.psum(1, axis)
+        idx = jax.lax.axis_index(axis)
+        h, w = x.shape   # local tile
+        ext = _row_halo(x, 3, 4, axis)
+        h2e = obmc._conv8_edge(ext, 0)
+        h2 = h2e[3:3 + h, :]
+        # global last row override: h2[-1] = x[-1] on the last device
+        h2 = jnp.where((idx == n_dev - 1)
+                       & (jnp.arange(h) == h - 1)[:, None], x, h2)
+        h0 = x
+        h1 = obmc._conv8_edge(x, 1)
+        h1 = h1.at[:, w - 1].set(x[:, w - 1])
+        h3 = obmc._conv8_edge(h2, 1)
+        h3 = h3.at[:, w - 1].set(h2[:, w - 1])
+        h3 = jnp.where((idx == n_dev - 1)
+                       & (jnp.arange(h) == h - 1)[:, None], h1, h3)
+        return obmc.make_halfpel((h0, h1, h2, h3))
+
+    fn = shard_map(body, mesh=mesh, in_specs=P(axis, None),
+                   out_specs=P(axis, None), check_rep=False)
+    return jax.jit(fn)
+
+
+def make_sharded_obmc_render(mesh: Mesh, p, num_refs: int,
+                             axis: str = "tile"):
+    """jit(fn(mv_fields, up1[, up2])): OBMC luma render with the OUTPUT
+    rows sharded over `axis`.  The half-pel reference planes and the
+    (tiny) MV fields are replicated — reference frames are the canonical
+    replicated state of a codec — and each device renders its own band of
+    output rows via the per-pixel renderer's global-coordinate row offset
+    (ops/obmc.py render_component row0).  Bit-identical to the unsharded
+    render."""
+    from schroedinger_tpu.ops import obmc
+
+    vf = p.video_format
+    out_w, out_h = vf.picture_luma_size()
+    n_dev = mesh.devices.size
+    assert out_h % n_dev == 0, "luma height must split evenly"
+    band = out_h // n_dev
+
+    def body(mv, up1, up2):
+        idx = jax.lax.axis_index(axis)
+        pred = obmc.render_component(
+            mv["dx1"], mv["dy1"], mv["dx2"], mv["dy2"], mv["pred_mode"],
+            mv["dc0"], up1, (up2 if num_refs == 2 else None), None,
+            p.xblen_luma, p.yblen_luma, p.xbsep_luma, p.ybsep_luma,
+            p.mv_precision, p.picture_weight_1, p.picture_weight_2,
+            p.picture_weight_bits, band, out_w, row0=idx * band)
+        return pred.astype(jnp.int16)
+
+    specs_in = ({k: P() for k in ("dx1", "dy1", "dx2", "dy2",
+                                  "pred_mode", "dc0")},
+                P(None, None), P(None, None))
+    fn = shard_map(body, mesh=mesh, in_specs=specs_in,
+                   out_specs=P(axis, None), check_rep=False)
+    return jax.jit(fn)

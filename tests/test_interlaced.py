@@ -41,6 +41,7 @@ def test_interlaced_stream_decodes_and_weaves():
     frames = _frames(3)
     cfg = EncoderConfig()
     cfg.set("rate_control", "constant_quality")
+    cfg.set("quality", 7.0)   # default 5.0 legitimately sits near 27 dB
     stream = Encoder(vf, cfg).encode_stream(frames)
 
     mine = Decoder().decode_stream(stream)
