@@ -242,6 +242,136 @@ def _read_frame(fp):
     return planes
 
 
+def _fill_frame16(fp, y, u, v):
+    for i, plane in enumerate((y, u, v)):
+        comp = fp.contents.components[i]
+        h, w = plane.shape
+        assert comp.width == w and comp.height == h, \
+            (comp.width, comp.height, w, h)
+        buf = (C.c_ubyte * (comp.stride * h)).from_address(comp.data)
+        dst = np.frombuffer(buf, dtype=np.int16).reshape(h, comp.stride // 2)
+        dst[:, :w] = plane
+    return fp
+
+
+def _read_frame16(fp):
+    planes = []
+    for i in range(3):
+        comp = fp.contents.components[i]
+        h, w = comp.height, comp.width
+        buf = (C.c_ubyte * (comp.stride * h)).from_address(comp.data)
+        arr = (np.frombuffer(buf, dtype=np.int16)
+               .reshape(h, comp.stride // 2)[:, :w].copy())
+        planes.append(arr)
+    return planes
+
+
+def _deep_signal_range(vf, bit_depth):
+    """Full-range 10/12/16-bit signal params (schrovideoformat.h:47-76:
+    bit depth is derived from luma_excursion)."""
+    vf.contents.luma_offset = 0
+    vf.contents.luma_excursion = (1 << bit_depth) - 1
+    vf.contents.chroma_offset = 1 << (bit_depth - 1)
+    vf.contents.chroma_excursion = (1 << bit_depth) - 1
+
+
+def encode16(frames, width, height, bit_depth, settings=None, chroma=420):
+    """Encode deep (10/16-bit) YUV frames (int16 offset-binary planes).
+
+    The reference converts S16 input to its S32 internal frames with a
+    plain widen (orc_convert_s32_s16 — NO offset; only the 8-bit path
+    recentres by 128, schroorc.orc:543-549 vs :483-487)."""
+    L = lib()
+    enc = L.schro_encoder_new()
+    vf = L.schro_encoder_get_video_format(enc)
+    vf.contents.width = width
+    vf.contents.height = height
+    vf.contents.clean_width = width
+    vf.contents.clean_height = height
+    vf.contents.chroma_format = {444: 0, 422: 1, 420: 2}[chroma]
+    _deep_signal_range(vf, bit_depth)
+    L.schro_encoder_set_video_format(enc, vf)
+    for k, val in (settings or {}).items():
+        L.schro_encoder_setting_set_double(enc, k.encode(), float(val))
+    L.schro_encoder_start(enc)
+
+    fmt = {444: FRAME_S16_444, 422: FRAME_S16_422, 420: FRAME_S16_420}[chroma]
+    out = bytearray()
+    n = C.c_int(0)
+    it = iter(frames)
+    pushed_eos = False
+    while True:
+        st = L.schro_encoder_wait(enc)
+        if st == STATE_NEED_FRAME:
+            try:
+                y, u, v = next(it)
+                fp = L.schro_frame_new_and_alloc(None, fmt, width, height)
+                _fill_frame16(fp, np.asarray(y, np.int16),
+                              np.asarray(u, np.int16),
+                              np.asarray(v, np.int16))
+                L.schro_encoder_push_frame(enc, fp)
+            except StopIteration:
+                if not pushed_eos:
+                    L.schro_encoder_end_of_stream(enc)
+                    pushed_eos = True
+        elif st == STATE_HAVE_BUFFER:
+            buf = L.schro_encoder_pull(enc, C.byref(n))
+            out += bytes(bytearray(buf.contents.data[i]
+                                   for i in range(buf.contents.length)))
+            L.schro_buffer_unref(buf)
+        elif st == STATE_END_OF_STREAM:
+            break
+    L.schro_encoder_free(enc)
+    return bytes(out)
+
+
+def decode16(stream, width, height, chroma=420):
+    """Decode a deep Dirac stream to int16 planes (plain S32->S16 narrow,
+    no offset — matching the reference's output conversion)."""
+    L = lib()
+    dec = L.schro_decoder_new()
+    L.schro_decoder_set_picture_order(dec, 0)
+    fmt = {444: FRAME_S16_444, 422: FRAME_S16_422, 420: FRAME_S16_420}[chroma]
+    data = C.create_string_buffer(stream, len(stream))
+    buf = L.schro_buffer_new_with_data(C.cast(data, C.c_void_p), len(stream))
+    L.schro_decoder_autoparse_push(dec, buf)
+    pushed_eos = False
+    frames = []
+    while True:
+        st = L.schro_decoder_autoparse_wait(dec)
+        if st == 5:  # NEED_FRAME
+            fp = L.schro_frame_new_and_alloc(None, fmt, width, height)
+            L.schro_decoder_add_output_picture(dec, fp)
+        elif st == 0:  # OK
+            fp = L.schro_decoder_pull(dec)
+            if fp and fp.contents.components[0].data:
+                frames.append(_read_frame16(fp))
+                L.schro_frame_unref(fp)
+            elif fp:
+                L.schro_frame_unref(fp)
+        elif st == 2:  # EOS
+            while True:
+                fp = L.schro_decoder_pull(dec)
+                if not fp:
+                    break
+                if fp.contents.components[0].data:
+                    frames.append(_read_frame16(fp))
+                L.schro_frame_unref(fp)
+            break
+        elif st == 1:
+            raise RuntimeError("oracle decoder error")
+        elif st == 4:
+            if not pushed_eos:
+                L.schro_decoder_autoparse_push_end_of_sequence(dec)
+                pushed_eos = True
+            else:
+                break
+        elif st == 3:
+            pass
+    L.schro_decoder_free(dec)
+    return frames
+
+
 def encode(frames, width, height, settings=None, chroma=420):
     """Encode uint8 YUV planar frames; returns the full Dirac stream as bytes.
 

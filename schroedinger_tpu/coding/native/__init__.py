@@ -40,7 +40,7 @@ _lib.ld_encode.argtypes = [
     C.c_int, C.c_int, C.c_int, C.c_int,
     _i32p, _i32p, _i32p,
     C.c_int, C.c_int, C.c_int, C.c_int,
-    C.c_int, _i64p, _u8p, C.c_int64, _i32p]
+    C.c_int, C.c_int, _i64p, _u8p, C.c_int64, _i32p]
 
 _lib.ld_decode.restype = C.c_int64
 _lib.ld_decode.argtypes = [
@@ -49,7 +49,7 @@ _lib.ld_decode.argtypes = [
     _i64p, _i32p, _i32p, _i32p, _i32p]
 
 _lib.dc_predict_integrate.restype = None
-_lib.dc_predict_integrate.argtypes = [_i32p, C.c_int, C.c_int]
+_lib.dc_predict_integrate.argtypes = [_i32p, C.c_int, C.c_int, C.c_int]
 
 _lib.subband_encode_arith.restype = C.c_int64
 _lib.subband_encode_arith.argtypes = [
@@ -66,11 +66,11 @@ _lib.subband_decode_arith.argtypes = [
 _lib.subband_quantise.restype = None
 _lib.subband_quantise.argtypes = [
     _i32p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, _i32p,
-    C.c_int, C.c_int, _i32p]
+    C.c_int, C.c_int, C.c_int, _i32p]
 
 
 def ld_encode(yd, ud, vd, y_qmo, uv_qmo, ny, nx, y_bh, y_bw, uv_bh, uv_bw,
-              y_ll, u_ll, v_ll, dc_qm, slice_bytes):
+              y_ll, u_ll, v_ll, dc_qm, slice_bytes, deep=False):
     """Full low-delay slice search + packing. Returns (payload, bases)."""
     yd = np.ascontiguousarray(yd, np.int32)
     ud = np.ascontiguousarray(ud, np.int32)
@@ -91,7 +91,7 @@ def ld_encode(yd, ud, vd, y_qmo, uv_qmo, ny, nx, y_bh, y_bw, uv_bh, uv_bw,
         ny, nx, Sy, Suv, y_bh, y_bw, uv_bh, uv_bw,
         y_ll, u_ll, v_ll,
         y_ll.shape[1], y_ll.shape[0], u_ll.shape[1], u_ll.shape[0],
-        dc_qm, slice_bytes.reshape(-1), out, cap, bases)
+        dc_qm, 1 if deep else 0, slice_bytes.reshape(-1), out, cap, bases)
     if n < 0:
         raise ValueError("low-delay slice overflow")
     return out.tobytes(), bases.reshape(ny, nx)
@@ -115,9 +115,9 @@ def ld_decode(payload, y_qmo, uv_qmo, ny, nx, Sy, Suv, slice_bytes):
             v_out.reshape(ny, nx, Suv), bases.reshape(ny, nx))
 
 
-def dc_predict_integrate(band):
+def dc_predict_integrate(band, deep=False):
     b = np.ascontiguousarray(band, np.int32)
-    _lib.dc_predict_integrate(b, b.shape[0], b.shape[1])
+    _lib.dc_predict_integrate(b, b.shape[0], b.shape[1], 1 if deep else 0)
     return b
 
 
@@ -161,14 +161,15 @@ def decode_subband_arith(payload, shape, quant_index, parent_deq, position,
 
 
 def subband_quantise(data, position, hcb, vcb, quant_indices, is_intra,
-                     num_refs=0):
+                     num_refs=0, deep=False):
     """Returns (qdata, dequantised); matches sb.quantise_subband."""
     d = np.ascontiguousarray(data, np.int32)
     h, w = d.shape
     qout = np.zeros((h, w), dtype=np.int32)
     _lib.subband_quantise(d, h, w, position, hcb, vcb,
                           np.ascontiguousarray(quant_indices, np.int32),
-                          1 if is_intra else 0, num_refs, qout)
+                          1 if is_intra else 0, num_refs,
+                          1 if deep else 0, qout)
     return qout.astype(np.int64), d.astype(np.int64)
 
 
@@ -306,7 +307,7 @@ def _ensure_tab():
             C.c_int, C.c_int, C.c_int, C.c_int,
             _i32p, _i32p, _i32p,
             C.c_int, C.c_int, C.c_int, C.c_int,
-            C.c_int, _i64p,
+            C.c_int, C.c_int, _i64p,
             _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
             _u8p, C.c_int64, _i32p]
         _lib._tab_ready = True
@@ -314,7 +315,8 @@ def _ensure_tab():
 
 def ld_encode_tab(yd, ud, vd, y_qmo, uv_qmo, ny, nx, y_bh, y_bw, uv_bh, uv_bw,
                   y_ll, u_ll, v_ll, dc_qm, slice_bytes,
-                  y_bits, y_last, u_bits, u_last, v_bits, v_last):
+                  y_bits, y_last, u_bits, u_last, v_bits, v_last,
+                  deep=False):
     """Slice search using TPU-precomputed per-base aggregates."""
     _ensure_tab()
     yd = np.ascontiguousarray(yd, np.int32)
@@ -338,7 +340,8 @@ def ld_encode_tab(yd, ud, vd, y_qmo, uv_qmo, ny, nx, y_bh, y_bw, uv_bh, uv_bw,
         ny, nx, Sy, Suv, y_bh, y_bw, uv_bh, uv_bw,
         y_ll, u_ll, v_ll,
         y_ll.shape[1], y_ll.shape[0], u_ll.shape[1], u_ll.shape[0],
-        dc_qm, slice_bytes.reshape(-1), *tabs, out, cap, bases)
+        dc_qm, 1 if deep else 0, slice_bytes.reshape(-1), *tabs, out, cap,
+        bases)
     if n < 0:
         raise ValueError("low-delay slice overflow")
     return out.tobytes(), bases.reshape(ny, nx)

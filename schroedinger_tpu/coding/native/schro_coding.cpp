@@ -150,6 +150,18 @@ static inline int divide3(int32_t a) {
   return ((int32_t)(a * 21845) + 10922) >> 16;
 }
 
+// The reference's s32 (deep) DC-prediction divide is NOT the fixed-point
+// divide3 but schro_divide(a, 3) (schroutils.h:63): truncating division
+// with a negative adjustment, i.e. floor toward -inf.  Used by the deep
+// paths only (schrodecoder.c:3271, schroencoder.c:3648).
+static inline int divide3_s32(int32_t a) {
+  return a < 0 ? (a - 2) / 3 : a / 3;
+}
+
+static inline int dc_div3(int32_t a, int deep) {
+  return deep ? divide3_s32(a) : divide3(a);
+}
+
 static inline int sint_bits(int64_t v) {
   uint64_t m = (uint64_t)(v < 0 ? -v : v);
   int n = 64 - __builtin_clzll(m + 1);
@@ -411,7 +423,7 @@ struct LdPlane {
 
 static void ld_quant_dc_block(
     const int32_t* orig_ll, int32_t* recon_ll, int llw,
-    int y0, int y1, int x0, int x1, int qi, int64_t* out) {
+    int y0, int y1, int x0, int x1, int qi, int64_t* out, int deep) {
   int64_t qf = QUANT_FACTOR[qi], qo = QUANT_OFFSET_1_2[qi];
   int n = 0;
   for (int y = y0; y < y1; y++) {
@@ -419,8 +431,8 @@ static void ld_quant_dc_block(
       int pred;
       if (y > 0) {
         if (x > 0)
-          pred = divide3(recon_ll[y * llw + x - 1] + recon_ll[(y - 1) * llw + x]
-                         + recon_ll[(y - 1) * llw + x - 1] + 1);
+          pred = dc_div3(recon_ll[y * llw + x - 1] + recon_ll[(y - 1) * llw + x]
+                         + recon_ll[(y - 1) * llw + x - 1] + 1, deep);
         else
           pred = recon_ll[(y - 1) * llw + x];
       } else {
@@ -444,6 +456,7 @@ int64_t ld_encode(
     const int32_t* y_ll, const int32_t* u_ll, const int32_t* v_ll,
     int y_llw, int y_llh, int uv_llw, int uv_llh,
     int dc_qm,  // quant_matrix[0]
+    int deep,   // s32 (10/16-bit) DC divide semantics
     const int64_t* slice_bytes,
     uint8_t* out, int64_t out_capacity,
     int32_t* chosen_base_out) {
@@ -485,11 +498,11 @@ int64_t ld_encode(
       auto estimate = [&](int base) {
         int qi0 = std::min(std::max(base - dc_qm, 0), 60);
         ld_quant_dc_block(y_ll, y_recon, y_llw, sy * y_bh, (sy + 1) * y_bh,
-                          sx * y_bw, (sx + 1) * y_bw, qi0, dqy);
+                          sx * y_bw, (sx + 1) * y_bw, qi0, dqy, deep);
         ld_quant_dc_block(u_ll, u_recon, uv_llw, sy * uv_bh, (sy + 1) * uv_bh,
-                          sx * uv_bw, (sx + 1) * uv_bw, qi0, dqu);
+                          sx * uv_bw, (sx + 1) * uv_bw, qi0, dqu, deep);
         ld_quant_dc_block(v_ll, v_recon, uv_llw, sy * uv_bh, (sy + 1) * uv_bh,
-                          sx * uv_bw, (sx + 1) * uv_bw, qi0, dqv);
+                          sx * uv_bw, (sx + 1) * uv_bw, qi0, dqv, deep);
 
         // Y: DC then non-DC (magic-division fast path per qmo segment)
         int y_bits = 0;
@@ -665,14 +678,14 @@ int64_t ld_decode(
 }
 
 // In-place DC prediction integration over an LL band (decoder side).
-void dc_predict_integrate(int32_t* b, int h, int w) {
+void dc_predict_integrate(int32_t* b, int h, int w, int deep) {
   for (int i = 1; i < w; i++) b[i] += b[i - 1];
   for (int j = 1; j < h; j++) {
     int32_t* line = b + (int64_t)j * w;
     int32_t* prev = line - w;
     line[0] += prev[0];
     for (int i = 1; i < w; i++) {
-      line[i] += divide3(line[i - 1] + prev[i] + prev[i - 1] + 1);
+      line[i] += dc_div3(line[i - 1] + prev[i] + prev[i - 1] + 1, deep);
     }
   }
 }
@@ -818,7 +831,7 @@ void subband_decode_arith(
 void subband_quantise(
     int32_t* data, int h, int w, int position,
     int hcb, int vcb, const int32_t* quant_indices, int is_intra,
-    int num_refs, int32_t* qout) {
+    int num_refs, int deep, int32_t* qout) {
   for (int cy = 0; cy < vcb; cy++) {
     int y0, y1;
     cb_bounds(h, vcb, cy, &y0, &y1);
@@ -836,9 +849,9 @@ void subband_quantise(
             // equivalent to the global position check (schroencoder.c:3611)
             if (j > 0) {
               if (i > 0)
-                pred = divide3(data[(int64_t)j * w + i - 1]
+                pred = dc_div3(data[(int64_t)j * w + i - 1]
                                + data[(int64_t)(j - 1) * w + i]
-                               + data[(int64_t)(j - 1) * w + i - 1] + 1);
+                               + data[(int64_t)(j - 1) * w + i - 1] + 1, deep);
               else
                 pred = data[(int64_t)(j - 1) * w + i];
             } else {
@@ -1623,7 +1636,7 @@ int64_t ld_encode_tab(
     int y_bh, int y_bw, int uv_bh, int uv_bw,
     const int32_t* y_ll, const int32_t* u_ll, const int32_t* v_ll,
     int y_llw, int y_llh, int uv_llw, int uv_llh,
-    int dc_qm,
+    int dc_qm, int deep,
     const int64_t* slice_bytes,
     const int32_t* y_bits_tab, const int32_t* y_last_tab,
     const int32_t* u_bits_tab, const int32_t* u_last_tab,
@@ -1663,11 +1676,11 @@ int64_t ld_encode_tab(
       auto estimate = [&](int base) {
         int qi0 = std::min(std::max(base - dc_qm, 0), 60);
         ld_quant_dc_block(y_ll, y_recon, y_llw, sy * y_bh, (sy + 1) * y_bh,
-                          sx * y_bw, (sx + 1) * y_bw, qi0, dqy);
+                          sx * y_bw, (sx + 1) * y_bw, qi0, dqy, deep);
         ld_quant_dc_block(u_ll, u_recon, uv_llw, sy * uv_bh, (sy + 1) * uv_bh,
-                          sx * uv_bw, (sx + 1) * uv_bw, qi0, dqu);
+                          sx * uv_bw, (sx + 1) * uv_bw, qi0, dqu, deep);
         ld_quant_dc_block(v_ll, v_recon, uv_llw, sy * uv_bh, (sy + 1) * uv_bh,
-                          sx * uv_bw, (sx + 1) * uv_bw, qi0, dqv);
+                          sx * uv_bw, (sx + 1) * uv_bw, qi0, dqv, deep);
 
         int dc_bits_y = 0, dc_last_y = -1;
         for (int k = 0; k < dcs_y; k++) {

@@ -60,7 +60,8 @@ def dequantise_scalar(q, qf, qo):
 
 
 def quantise_subband(data: np.ndarray, quant_indices, position: int,
-                     hcb: int, vcb: int, is_intra: bool):
+                     hcb: int, vcb: int, is_intra: bool,
+                     deep: bool = False):
     """Quantise a subband in codeblock order; returns (qdata, dequantised).
 
     data: int numpy array (modified copy returned as dequantised).
@@ -71,13 +72,19 @@ def quantise_subband(data: np.ndarray, quant_indices, position: int,
     if _native is not None:
         qi_full = np.broadcast_to(np.asarray(quant_indices), (vcb, hcb))
         return _native.subband_quantise(data, position, hcb, vcb, qi_full,
-                                        is_intra, 0 if is_intra else 1)
+                                        is_intra, 0 if is_intra else 1,
+                                        deep=deep)
     h, w = data.shape
     deq = data.astype(np.int64).copy()
     qdata = np.zeros((h, w), dtype=np.int64)
     ybounds = codeblock_bounds(h, vcb)
     xbounds = codeblock_bounds(w, hcb)
-    div3 = lambda a: (np.int32(a) * np.int32(21845) + np.int32(10922)) >> np.int32(16)
+    if deep:
+        # deep (s32) DC divide is schro_divide(a, 3) (schroencoder.c:3648)
+        div3 = lambda a: (int(a) - 2) // 3 if a < 0 else int(a) // 3
+    else:
+        div3 = lambda a: (np.int32(a) * np.int32(21845)
+                          + np.int32(10922)) >> np.int32(16)
 
     for cy, (y0, y1) in enumerate(ybounds):
         for cx, (x0, x1) in enumerate(xbounds):

@@ -21,7 +21,10 @@ from functools import partial
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _to_deep(plane_s32, h: int, w: int, bit_depth: int):
-    x = plane_s32[:h, :w].astype(jnp.int32) + (1 << (bit_depth - 1))
+    """Deep output: values are already offset-binary (no recentring in the
+    deep path); the reference plain-narrows S32->S16 (wrap), we clip to
+    the legal range instead."""
+    x = plane_s32[:h, :w].astype(jnp.int32)
     return jnp.clip(x, 0, (1 << bit_depth) - 1).astype(jnp.uint16)
 from schroedinger_tpu.params import (Params, subband_count, subband_info,
                                      subband_position)
@@ -51,12 +54,16 @@ def _band_shapes(p: Params, comp: int):
     return shapes
 
 
-def dc_predict_integrate_np(band):
+def dc_predict_integrate_np(band, deep=False):
     if _native is not None:
-        return _native.dc_predict_integrate(band)
+        return _native.dc_predict_integrate(band, deep=deep)
     b = band.astype(np.int32)
     h, w = b.shape
-    div3 = lambda a: (np.int32(a) * np.int32(21845) + np.int32(10922)) >> np.int32(16)
+    if deep:
+        div3 = lambda a: (int(a) - 2) // 3 if a < 0 else int(a) // 3
+    else:
+        div3 = lambda a: (np.int32(a) * np.int32(21845)
+                          + np.int32(10922)) >> np.int32(16)
     for i in range(1, w):
         b[0, i] += b[0, i - 1]
     for j in range(1, h):
@@ -106,9 +113,10 @@ def decode_picture(payload: bytes, p: Params):
                 bands[index] = sb.decode_subband_arith(
                     data, (h, w), quant_index, parent, position, hcb, vcb,
                     p.codeblock_mode_index == 1, is_intra=(p.num_refs == 0))
-        if p.num_refs == 0:
-            bands[0] = dc_predict_integrate_np(bands[0])
         bit_depth = p.video_format.bit_depth
+        if p.num_refs == 0:
+            bands[0] = dc_predict_integrate_np(bands[0],
+                                               deep=bit_depth > 8)
         dt = np.int32 if bit_depth > 8 else np.int16
         pyr = sl.arrays_to_pyramid(
             [jnp.asarray(np.asarray(b, dtype=dt)) for b in bands], depth)

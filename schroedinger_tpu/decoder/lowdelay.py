@@ -34,25 +34,33 @@ def divide3(a):
     return (np.int32(a) * np.int32(21845) + np.int32(10922)) >> np.int32(16)
 
 
+def divide3_s32(a):
+    """Deep (s32) DC divide: schro_divide(a, 3), schrodecoder.c:3271."""
+    a = int(a)
+    return (a - 2) // 3 if a < 0 else a // 3
+
+
 def dequantise_np(q, qf, qo):
     q = np.asarray(q, dtype=np.int64)
     mag = (np.abs(q) * qf + qo + 2) >> 2
     return np.where(q == 0, 0, np.where(q < 0, -mag, mag)).astype(np.int64)
 
 
-def dc_predict_integrate(band: np.ndarray) -> np.ndarray:
-    """In-place DC prediction integration (schro_decoder_subband_dc_predict)."""
+def dc_predict_integrate(band: np.ndarray, deep: bool = False) -> np.ndarray:
+    """In-place DC prediction integration (schro_decoder_subband_dc_predict;
+    _s32 variant uses schro_divide, schrodecoder.c:3250-3275)."""
     if _native is not None:
-        return _native.dc_predict_integrate(band)
+        return _native.dc_predict_integrate(band, deep=deep)
     b = band.astype(np.int32)
     h, w = b.shape
+    div3 = divide3_s32 if deep else divide3
     for i in range(1, w):
         b[0, i] += b[0, i - 1]
     for j in range(1, h):
         b[j, 0] += b[j - 1, 0]
         for i in range(1, w):
-            pred = divide3(int(b[j, i - 1]) + int(b[j - 1, i])
-                           + int(b[j - 1, i - 1]) + 1)
+            pred = div3(int(b[j, i - 1]) + int(b[j - 1, i])
+                        + int(b[j - 1, i - 1]) + 1)
             b[j, i] += pred
     return b
 
@@ -71,6 +79,15 @@ from functools import partial
 def _to_u8(plane_s16, h: int, w: int):
     x = plane_s16[:h, :w] + 128
     return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _to_u16(plane_s32, h: int, w: int, bit_depth: int):
+    """Deep (10/16-bit) output conversion (schrolowdelay.c s32 paths):
+    values are offset-binary already — the deep path never recentres
+    (plain orc_convert_* widen/narrow); clip to the legal range."""
+    x = plane_s32[:h, :w].astype(jnp.int32)
+    return jnp.clip(x, 0, (1 << bit_depth) - 1).astype(jnp.uint16)
 
 
 def decode_picture(payload: bytes, params: Params):
@@ -171,15 +188,20 @@ def _finish(dy, du, dv, p: Params, y_shapes, uv_shapes, ny, nx):
     pic_sizes = [p.video_format.picture_luma_size(),
                  p.video_format.picture_chroma_size(),
                  p.video_format.picture_chroma_size()]
+    bd = p.video_format.bit_depth
+    band_dtype = np.int32 if bd > 8 else np.int16
     for data, shapes in ((dy, y_shapes), (du, uv_shapes), (dv, uv_shapes)):
         bands = sl.from_slices(data, shapes, ny, nx)
-        bands[0] = dc_predict_integrate(bands[0])
-        bands = [np.asarray(b, dtype=np.int16) for b in bands]
+        bands[0] = dc_predict_integrate(bands[0], deep=bd > 8)
+        bands = [np.asarray(b, dtype=band_dtype) for b in bands]
         pyr = sl.arrays_to_pyramid(
             [jnp.asarray(b) for b in bands], depth)
         planes.append(_inverse_jit(pyr, p.wavelet_filter_index))
 
     out = []
     for plane, (w_pic, h_pic) in zip(planes, pic_sizes):
-        out.append(np.asarray(_to_u8(plane, h_pic, w_pic)))
+        if bd > 8:
+            out.append(np.asarray(_to_u16(plane, h_pic, w_pic, bd)))
+        else:
+            out.append(np.asarray(_to_u8(plane, h_pic, w_pic)))
     return tuple(out)

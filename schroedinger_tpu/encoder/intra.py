@@ -26,7 +26,12 @@ import jax
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _prep_plane_deep(plane_u16, out_h: int, out_w: int, bit_depth: int):
-    x = plane_u16.astype(jnp.int32) - (1 << (bit_depth - 1))
+    """Deep (10/16-bit) input prep: the reference widens S16 input to its
+    S32 internal frames with a PLAIN convert — no recentring; only the
+    8-bit path subtracts 128 (orc_convert_s32_s16 schroorc.orc:479-487 vs
+    orc_offsetconvert_s16_u8 :524-530)."""
+    del bit_depth
+    x = plane_u16.astype(jnp.int32)
     h, w = x.shape
     return jnp.pad(x, ((0, out_h - h), (0, out_w - w)), mode="edge")
 from schroedinger_tpu.params import (Params, subband_count, subband_info,
@@ -88,7 +93,7 @@ def encode_picture(planes_u8, p: Params, frame_number: int,
 
             qdata, deq = sb.quantise_subband(
                 bands[index], qi_arr, position, hcb, vcb,
-                is_intra=(p.num_refs == 0))
+                is_intra=(p.num_refs == 0), deep=bit_depth > 8)
             deq_bands[index] = deq
 
             w.sync()

@@ -41,6 +41,13 @@ def divide3(a):
     return (np.int32(a) * np.int32(21845) + np.int32(10922)) >> np.int32(16)
 
 
+def divide3_s32(a):
+    """The deep (s32) DC divide: schro_divide(a, 3) (schroutils.h:63),
+    truncating division floored for negatives (schroencoder.c:3648)."""
+    a = int(a)
+    return (a - 2) // 3 if a < 0 else a // 3
+
+
 def quantise_np(v, qf, qo):
     v = np.asarray(v, dtype=np.int64)
     x = np.abs(v) << 2
@@ -79,7 +86,8 @@ def _params_key(p: Params):
     return (p.iwt_luma_width, p.iwt_luma_height, p.iwt_chroma_width,
             p.iwt_chroma_height, p.transform_depth,
             int(p.wavelet_filter_index), p.n_horiz_slices, p.n_vert_slices,
-            tuple(p.quant_matrix[: subband_count(p.transform_depth)]))
+            tuple(p.quant_matrix[: subband_count(p.transform_depth)]),
+            p.video_format.bit_depth)
 
 
 def _get_analyze_fn(p: Params):
@@ -122,9 +130,10 @@ class DCChain:
     Matches quantise_dc_block/schro_dc_predict (schrolowdelay.c:766-905).
     """
 
-    def __init__(self, ll: np.ndarray):
+    def __init__(self, ll: np.ndarray, deep: bool = False):
         self.orig = ll.astype(np.int32)
         self.recon = np.zeros_like(self.orig)
+        self._div3 = divide3_s32 if deep else divide3
 
     def quantise_block(self, y0, y1, x0, x1, qi):
         qf, qo = int(QF[qi]), int(QO[qi])
@@ -135,8 +144,9 @@ class DCChain:
             for x in range(x0, x1):
                 if y > 0:
                     if x > 0:
-                        pred = int(divide3(int(rec[y, x - 1]) + int(rec[y - 1, x])
-                                           + int(rec[y - 1, x - 1]) + 1))
+                        pred = int(self._div3(int(rec[y, x - 1])
+                                              + int(rec[y - 1, x])
+                                              + int(rec[y - 1, x - 1]) + 1))
                     else:
                         pred = int(rec[y - 1, x])
                 else:
@@ -232,7 +242,8 @@ def encode_picture_from_slices(y_sl, u_sl, v_sl, p: Params,
     payload, _bases = _native.ld_encode(
         y_sl, u_sl, v_sl, y_qmo, uv_qmo, ny, nx,
         llh_y // ny, llw_y // nx, llh_uv // ny, llw_uv // nx,
-        y_ll, u_ll, v_ll, int(p.quant_matrix[0]), sbytes)
+        y_ll, u_ll, v_ll, int(p.quant_matrix[0]), sbytes,
+        deep=p.video_format.bit_depth > 8)
     return _picture_headers(p, frame_number, is_ref) + payload
 
 
@@ -255,7 +266,7 @@ def encode_picture_from_analysis(host_data, p: Params, frame_number: int,
         y_sl, u_sl, v_sl, y_qmo, uv_qmo, ny, nx,
         llh_y // ny, llw_y // nx, llh_uv // ny, llw_uv // nx,
         y_ll, u_ll, v_ll, int(p.quant_matrix[0]), sbytes,
-        yb, yl, ub, ul, vb, vl)
+        yb, yl, ub, ul, vb, vl, deep=p.video_format.bit_depth > 8)
     return _picture_headers(p, frame_number, is_ref) + payload
 
 

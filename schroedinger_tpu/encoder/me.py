@@ -144,7 +144,7 @@ def _median3x3_field(f):
 
 def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                  levels=3, coarse_radius=8, refine_radius=2, n_extra=0,
-                 max_levels_cap=True):
+                 max_levels_cap=True, candidates=True):
     """Build the raw (traceable) ME: (cur_y u8, ref_y u8) -> (dy, dx, sad)
     per block (pel); compose inside larger jitted programs.
 
@@ -217,6 +217,8 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                 mv = jnp.stack([my, mx], axis=-1)
 
         mv = jnp.clip(mv, -ME_BOUND_PEL, ME_BOUND_PEL)
+        if not candidates and not n_extra:
+            return mv[..., 0], mv[..., 1], sad
 
         # final-level candidate competition: hierarchy vs zero vs the
         # median-'predicted' field (+ injected candidates), then a local
@@ -232,7 +234,6 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
 
         med = jnp.stack([_median3x3_field(mv[..., 0]),
                          _median3x3_field(mv[..., 1])], axis=-1)
-        zero = jnp.zeros_like(mv)
 
         def sad_at(field):
             pat = _extract_ref_patches(P, field[..., 0], field[..., 1],
@@ -240,12 +241,20 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
             v = pat[:, :ybsep, :xbsep]
             return jnp.abs(cb - v).sum((1, 2)).reshape(nby, nbx)
 
+        # zero-displacement SAD needs no patch gather: it is the aligned
+        # dense diff (cost matters: each extra patch extraction at 1080p
+        # is ~6 ms; this candidate set adds only one, for `med`)
+        zdiff = jnp.abs(c0.astype(jnp.int32) - r0.astype(jnp.int32))
+        sad_zero = zdiff.reshape(nby, ybsep, nbx, xbsep).sum((1, 3))
+        zero = jnp.zeros_like(mv)
+
         cand_mvs = [mv, med, zero]
         # the reference biases toward zero/predicted ("gravity",
         # schrometric.c:122): a small per-pel bias keeps the smooth/zero
         # candidate when SADs are close, which costs fewer MV bits
         bias = ybsep * xbsep // 16
-        cand_sads = [sad, sad_at(med) - bias, sad_at(zero) - bias]
+        cand_sads = [sad, sad_at(med), sad_zero]
+        cand_bias = [0, bias, bias]
         if n_extra:
             ext = jnp.clip(extra, -ME_BOUND_PEL, ME_BOUND_PEL)
             ext_sads = _block_sads(c0, r0, ybsep, xbsep, ext)
@@ -253,15 +262,20 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                 cand_mvs.append(jnp.broadcast_to(ext[k][None, None, :],
                                                  (nby, nbx, 2)))
                 cand_sads.append(ext_sads[k])
+                cand_bias.append(0)
         all_sads = jnp.stack(cand_sads)
         all_mvs = jnp.stack(cand_mvs)
-        best = jnp.argmin(all_sads, axis=0)              # (nby, nbx)
+        biased = all_sads - jnp.asarray(cand_bias, jnp.int32)[:, None, None]
+        best = jnp.argmin(biased, axis=0)                # (nby, nbx)
         mv = jnp.take_along_axis(all_mvs, best[None, ..., None], axis=0)[0]
-        # radius-1 polish only: the hierarchy candidate is already
-        # refined at full resolution, so this mostly serves med/zero wins
-        my, mx, sad = _patch_refine(cb, P, mv[..., 0], mv[..., 1],
-                                    nby, nbx, ybsep, xbsep, 1, margin)
-        mv = jnp.stack([my, mx], axis=-1)
+        sad = jnp.take_along_axis(all_sads, best[None], axis=0)[0]
+        if n_extra:
+            # injected candidates are uniform vectors: a local rescan
+            # recovers per-block detail around the winner (the hierarchy
+            # and median candidates are already locally refined)
+            my, mx, sad = _patch_refine(cb, P, mv[..., 0], mv[..., 1],
+                                        nby, nbx, ybsep, xbsep, 1, margin)
+            mv = jnp.stack([my, mx], axis=-1)
         return mv[..., 0], mv[..., 1], sad
 
     return me

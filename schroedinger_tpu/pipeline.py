@@ -53,9 +53,16 @@ def make_lowdelay_analyze(p: Params):
 
     QF = jnp.asarray(tables.QUANT_FACTOR, jnp.int32)
     QO = jnp.asarray(tables.QUANT_OFFSET_1_2, jnp.int32)
+    bd = p.video_format.bit_depth
 
     def prep_and_slice(plane, oh, ow):
-        x = plane.astype(jnp.int16) - 128
+        # deep (10/16-bit) sources use the s32 path (schrolowdelay.c:110-763)
+        # with a PLAIN widen: only the 8-bit path recentres by 128
+        # (orc_convert_s32_s16 vs orc_offsetconvert_s16_u8)
+        if bd > 8:
+            x = plane.astype(jnp.int32)
+        else:
+            x = plane.astype(jnp.int16) - 128
         h, w = x.shape
         x = jnp.pad(x, ((0, oh - h), (0, ow - w)), mode="edge")
         pyr = wv.forward(x, depth, wavelet)
@@ -106,8 +113,13 @@ def make_lowdelay_transform(p: Params):
                 (p.iwt_chroma_height, p.iwt_chroma_width),
                 (p.iwt_chroma_height, p.iwt_chroma_width)]
 
+    bd = p.video_format.bit_depth
+
     def one(plane, oh, ow):
-        x = plane.astype(jnp.int16) - 128
+        if bd > 8:
+            x = plane.astype(jnp.int32)   # plain widen, no recentring
+        else:
+            x = plane.astype(jnp.int16) - 128
         h, w = x.shape
         x = jnp.pad(x, ((0, oh - h), (0, ow - w)), mode="edge")
         pyr = wv.forward(x, depth, wavelet)
