@@ -27,6 +27,18 @@ from schroedinger_tpu.ops import obmc
 from schroedinger_tpu.params import (Params, subband_count, subband_position)
 from schroedinger_tpu.video_format import VideoFormat
 
+
+class BrokenPicture(Exception):
+    """Data-dependent picture decode failure with a classified kind,
+    mirroring the reference's distinction between unpack overrun and
+    parse failure (schrounpack.h:16-22, schrodecoder.c:1402-1415).
+
+    kind: "missing_reference" | "parse" | "payload"."""
+
+    def __init__(self, kind: str, msg: str):
+        super().__init__(msg)
+        self.kind = kind
+
 try:
     from schroedinger_tpu.coding import native as _native
 except Exception:  # pragma: no cover
@@ -270,6 +282,11 @@ class StreamDecoder:
                                  jnp.int16)]
             else:
                 res = decode_residual(r, payload, p)
+            for rn in ref_nums:
+                if rn not in self.refs:
+                    raise BrokenPicture("missing_reference",
+                                        f"reference picture {rn} not in "
+                                        f"buffer for {picture_number}")
             ref1 = self.refs[ref_nums[0]]
             ref2 = self.refs[ref_nums[1]] if num_refs > 1 else None
             planes = self._render_inter(p, mv, ref1, ref2, res)
@@ -291,8 +308,20 @@ class StreamDecoder:
             elif bs.is_picture(code):
                 try:
                     num, planes = self.decode_picture_unit(code, payload)
-                except Exception as e:  # broken picture: record and continue
-                    self.errors.append({"code": code, "error": repr(e)})
+                except BrokenPicture as e:
+                    # data-dependent decode failure: record the picture
+                    # error and continue, like the reference's per-picture
+                    # error flag (schrodecoder.c:1402-1415). Programming
+                    # errors (TypeError/AttributeError/...) propagate.
+                    self.errors.append({"code": code, "error": repr(e),
+                                        "kind": e.kind})
+                    self._pending_md5 = None
+                    continue
+                except (ValueError, KeyError, IndexError) as e:
+                    # malformed fields (bad enum, shape mismatch, missing
+                    # reference) from a corrupted payload
+                    self.errors.append({"code": code, "error": repr(e),
+                                        "kind": "parse"})
                     self._pending_md5 = None
                     continue
                 if self._pending_md5 is not None and _native is not None:

@@ -19,7 +19,7 @@ from typing import List, Optional, Tuple
 
 from schroedinger_tpu import bitstream as bs
 from schroedinger_tpu.coding.bitio import BitReader
-from schroedinger_tpu.decoder.core import StreamDecoder
+from schroedinger_tpu.decoder.core import BrokenPicture, StreamDecoder
 
 PARSE_HEADER = 13
 _SKIP_TC = 0.1  # SCHRO_SKIP_TIME_CONSTANT, schrodecoder.c:26
@@ -247,9 +247,16 @@ class StreamingDecoder:
                 try:
                     num, planes = self._core.decode_picture_unit(code,
                                                                  payload)
-                except Exception as e:
+                except BrokenPicture as e:
                     self._core.errors.append({"code": code,
-                                              "error": repr(e)})
+                                              "error": repr(e),
+                                              "kind": e.kind})
+                    self._core._pending_md5 = None
+                    continue
+                except (ValueError, KeyError, IndexError) as e:
+                    self._core.errors.append({"code": code,
+                                              "error": repr(e),
+                                              "kind": "parse"})
                     self._core._pending_md5 = None
                     continue
                 if self._core._pending_md5 is not None:

@@ -101,6 +101,7 @@ class GopEncoder:
         self._refbuf = {}         # biref: picture number -> expired flag
         self._enc_last_ref = None  # mirrors encoder->last_ref
         self._au_frame = None     # picture number of the last AU intra
+        self._sent_stream_aux = False  # codec/bitrate aux emitted yet?
         self.perceptual_weighting = perceptual_weighting
         self.perceptual_distance = perceptual_distance
         self.open_gop = open_gop
@@ -758,6 +759,16 @@ class GopEncoder:
         units = []
         if is_intra:
             units.append(bs.write_sequence_header(self.vf, profile=8, level=0))
+            if not self._sent_stream_aux:
+                # codec-comment + CBR bitrate auxiliary data with the
+                # first coded frame (schro_encoder_encode_codec_comment /
+                # _bitrate_comment, schroencoder.c:1480-1507,:744)
+                self._sent_stream_aux = True
+                units.append(bs.make_aux_unit(
+                    1, b"schroedinger-tpu 2.0"))      # ENCODER_STRING
+                if self.rc is not None:
+                    units.append(bs.make_aux_unit(
+                        4, int(self.rc.bitrate).to_bytes(4, "big")))
             p = self._params(0)
             nb = subband_count(p.transform_depth)
             qm = np.asarray(p.quant_matrix[:nb], np.int32)

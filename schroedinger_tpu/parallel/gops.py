@@ -108,6 +108,10 @@ def _seed_shard_state(enc, start_frame: int) -> None:
         enc.last_ref = s - 1
     if s >= 2:
         enc.prev_ref = s - 2
+    if s > 0:
+        # stream-level aux units (codec comment/bitrate) belong to the
+        # first shard only — the serial encoder emits them once
+        enc._sent_stream_aux = True
 
 
 def encode_gops_sharded(frames: Sequence, make_encoder: Callable[[], object],
