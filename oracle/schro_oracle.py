@@ -212,6 +212,24 @@ def wavelet_inv(arr, filter_idx):
     return buf
 
 
+def frame_ssim(planes_a, planes_b):
+    """schro_frame_ssim over two (y,u,v) uint8 4:2:0 frames (schrossim.c)."""
+    L = lib()
+    L.schro_frame_ssim.restype = C.c_double
+    L.schro_frame_ssim.argtypes = [C.POINTER(SchroFrame),
+                                   C.POINTER(SchroFrame)]
+    h, w = planes_a[0].shape
+    fa = L.schro_frame_new_and_alloc(None, FRAME_U8_420, w, h)
+    fb = L.schro_frame_new_and_alloc(None, FRAME_U8_420, w, h)
+    try:
+        _fill_frame(fa, *planes_a)
+        _fill_frame(fb, *planes_b)
+        return float(L.schro_frame_ssim(fa, fb))
+    finally:
+        L.schro_frame_unref(fa)
+        L.schro_frame_unref(fb)
+
+
 def quantise(value, quant_factor, quant_offset):
     return lib().schro_quantise(value, quant_factor, quant_offset)
 

@@ -176,12 +176,17 @@ def decode_residual(payload_reader: BitReader, payload: bytes, p: Params):
 class StreamDecoder:
     """Decodes a full Dirac stream; returns frames in presentation order."""
 
-    def __init__(self):
+    def __init__(self, telemetry: Optional[bool] = None):
         self.vf: Optional[VideoFormat] = None
         self.refs: Dict[int, RefFrame] = {}
         self._pending_md5: Optional[bytes] = None
         self.md5_failures: List[int] = []
         self.errors: List[dict] = []
+        if telemetry is None:
+            import os
+            telemetry = os.environ.get("SCHRO_TPU_TELEMETRY", "") not in \
+                ("", "0")
+        self.telemetry = bool(telemetry)
 
     def _render_inter(self, p: Params, mv, ref1: RefFrame,
                       ref2: Optional[RefFrame], residual_planes):
@@ -295,6 +300,16 @@ class StreamDecoder:
             self.refs[picture_number] = RefFrame(planes)
             if retired is not None and retired != picture_number:
                 self.refs.pop(retired, None)
+        if self.telemetry and mv is not None:
+            # telemetry overlay on the OUTPUT copy only; the reference
+            # planes kept above stay pristine (schrodecoder.c:107).
+            # Verify the in-stream MD5 against the CLEAN picture first.
+            if self._pending_md5 is not None and _native is not None:
+                if _native.frame_md5(planes) != self._pending_md5:
+                    self.md5_failures.append(picture_number)
+                self._pending_md5 = None
+            from schroedinger_tpu.decoder.overlay import overlay_motion
+            planes = (overlay_motion(planes[0], mv, p),) + tuple(planes[1:])
         return picture_number, planes
 
     def decode_stream(self, stream: bytes, presentation_order: bool = True):

@@ -232,8 +232,8 @@ class GopEncoder:
             out["psnr"] = round(99.0 if mse == 0
                                 else 10 * np.log10(255.0 ** 2 / mse), 3)
         if self.enable_ssim:
-            from schroedinger_tpu.ops.metrics import ssim
-            out["ssim"] = round(float(ssim(src, rec)), 4)
+            from schroedinger_tpu.ops.metrics import ssim_frame
+            out["ssim"] = round(float(ssim_frame(src, rec)), 4)
         return out
 
     def _scene_change_score(self, planes) -> float:

@@ -1055,10 +1055,12 @@ def finish_inter_picture(pending: dict, frame_number: int, ref1_num: int,
                          ref2_num: Optional[int] = None):
     """Fetch the fused step's packed wire (one transfer) and entropy-code
     the parse unit.  Returns (unit_bytes, stats)."""
+    from schroedinger_tpu.utils.telemetry import timers
     p = pending["p"]
     outs = pending["outs"]
     lay = pending["layout"]
-    wire = np.asarray(jax.device_get(outs[0]))
+    with timers.span("p_transfer"):
+        wire = np.asarray(jax.device_get(outs[0]))
     nf, yb, xb, nb = (lay["n_fields"], lay["yb"], lay["xb"], lay["nb"])
     off = 0
     f16 = np.frombuffer(wire, np.int16, nf * yb * xb, off).reshape(
@@ -1102,8 +1104,17 @@ def finish_inter_picture(pending: dict, frame_number: int, ref1_num: int,
                                                  & 0xFF)
         host_q.append(qv)
     refs = [ref1_num] if ref2_num is None else [ref1_num, ref2_num]
-    unit = _write_p_unit(p, frame_number, refs, is_ref, retired, mv,
-                         host_q, pending["shapes3"], qi_bands)
+    from schroedinger_tpu.utils.telemetry import dump, dump_enabled
+    if dump_enabled("lambda_curve") and qi_bands is not None:
+        dump("lambda_curve", "%d %s", frame_number,
+             " ".join(str(int(q)) for q in np.asarray(qi_bands).ravel()))
+    if dump_enabled("motionest"):
+        dump("motionest", "%d dc_ratio %.4f mean_|mv| %.2f", frame_number,
+             pending["dc_ratio"],
+             float(np.mean(np.hypot(mv["dx1"], mv["dy1"]))))
+    with timers.span("p_entropy"):
+        unit = _write_p_unit(p, frame_number, refs, is_ref, retired, mv,
+                             host_q, pending["shapes3"], qi_bands)
     return unit, stats
 
 

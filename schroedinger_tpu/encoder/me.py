@@ -27,6 +27,20 @@ from schroedinger_tpu.ops.obmc import pad_halfpel, _round8
 ME_BOUND_PEL = 124
 
 
+def _pallas_me_enabled() -> bool:
+    """Use the Pallas patch-refine kernel (ops/pallas_me.py) for the ME
+    SAD scans.  Default: on for TPU backends, off on CPU (where only the
+    slow interpreter exists).  Override with SCHRO_TPU_PALLAS_ME=0/1."""
+    import os
+    raw = os.environ.get("SCHRO_TPU_PALLAS_ME", "auto")
+    if raw == "auto":
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            return False
+    return raw not in ("", "0", "off")
+
+
 def downsample2(x):
     """2x box downsample (encoder-side pyramid; decision-only)."""
     h, w = x.shape
@@ -168,6 +182,19 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
             levels -= 1
 
     margin = ME_BOUND_PEL + 2 * max(coarse_radius, refine_radius) + 16
+    use_pallas = _pallas_me_enabled()
+
+    def refine_dispatch(cb, P, mvy, mvx, nby, nbx, bs_y, bs_x, rad, bound):
+        """Patch refine via the Pallas kernel (TPU) or the jnp gather
+        formulation (CPU/tests); bit-exact either way."""
+        if use_pallas:
+            from schroedinger_tpu.ops import pallas_me
+            fn = pallas_me.make_patch_refine(
+                nby, nbx, bs_y, bs_x, rad, bound, margin,
+                nby * bs_y + 2 * margin, nbx * bs_x + 2 * margin)
+            return fn(cb, P, mvy, mvx)
+        return _patch_refine(cb, P, mvy, mvx, nby, nbx, bs_y, bs_x, rad,
+                             margin)
 
     def me(cur, ref, extra=None):
         cur = jnp.pad(cur, ((0, pad_h - H), (0, pad_w - W)), mode="edge")
@@ -197,9 +224,9 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                 # coarsest level: exhaustive (2*coarse_radius+1)^2 scan,
                 # expressed as a patch refine around the zero vector
                 zero = jnp.zeros((nby, nbx), jnp.int32)
-                my, mx, sad = _patch_refine(cb, P, zero, zero, nby, nbx,
-                                            bs_y, bs_x, coarse_radius,
-                                            margin)
+                my, mx, sad = refine_dispatch(cb, P, zero, zero, nby, nbx,
+                                              bs_y, bs_x, coarse_radius,
+                                              bound=0)
                 mv = jnp.stack([my, mx], axis=-1)
             else:
                 # upsample hints to this level's grid, scale x2
@@ -210,10 +237,10 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                 hint = hint[ys[:, None], xs[None, :]]  # (nby, nbx, 2)
                 hint = jnp.clip(hint, -ME_BOUND_PEL, ME_BOUND_PEL)
 
-                my, mx, sad = _patch_refine(cb, P, hint[..., 0],
-                                            hint[..., 1], nby, nbx,
-                                            bs_y, bs_x, refine_radius,
-                                            margin)
+                my, mx, sad = refine_dispatch(cb, P, hint[..., 0],
+                                              hint[..., 1], nby, nbx,
+                                              bs_y, bs_x, refine_radius,
+                                              bound=ME_BOUND_PEL)
                 mv = jnp.stack([my, mx], axis=-1)
 
         mv = jnp.clip(mv, -ME_BOUND_PEL, ME_BOUND_PEL)
@@ -273,8 +300,9 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
             # injected candidates are uniform vectors: a local rescan
             # recovers per-block detail around the winner (the hierarchy
             # and median candidates are already locally refined)
-            my, mx, sad = _patch_refine(cb, P, mv[..., 0], mv[..., 1],
-                                        nby, nbx, ybsep, xbsep, 1, margin)
+            my, mx, sad = refine_dispatch(cb, P, mv[..., 0], mv[..., 1],
+                                          nby, nbx, ybsep, xbsep, 1,
+                                          bound=ME_BOUND_PEL)
             mv = jnp.stack([my, mx], axis=-1)
         return mv[..., 0], mv[..., 1], sad
 

@@ -161,4 +161,9 @@ def pick_candidates(vecs, n: int = 8, vmax: int = 240) -> np.ndarray:
     out = np.zeros((n, 2), np.int32)
     take = min(n, len(uniq))
     out[:take] = uniq[order[:take]]
+    from schroedinger_tpu.utils.telemetry import dump, dump_enabled
+    if dump_enabled("phase_corr"):
+        dump("phase_corr", " ".join("%d,%d:%d" % (dy, dx, c) for (dy, dx), c
+                                    in zip(uniq[order[:take]],
+                                           counts[order[:take]])))
     return out

@@ -1,11 +1,17 @@
 #!/usr/bin/env python3
 """schro_tpu — encode/decode CLI for the TPU-native Dirac/VC-2 codec.
 
-  encode:  python tools/schro_tpu.py encode in.yuv out.drc --size WxH
+  encode:  python tools/schro_tpu.py encode in.y4m out.drc
            [--profile lowdelay|longgop] [--bitrate N] [--frames N]
-  decode:  python tools/schro_tpu.py decode in.drc out.yuv --size WxH
+  decode:  python tools/schro_tpu.py decode in.drc out.y4m
 
-YUV I/O is planar 4:2:0 8-bit (I420).
+Input/output video is YUV4MPEG2 (.y4m) — including "-" for stdin/stdout
+pipes, so ffmpeg can front the encoder:
+
+  ffmpeg -i clip.mp4 -f yuv4mpegpipe - | \
+      python tools/schro_tpu.py encode - out.drc --profile longgop
+
+Raw planar I420 (.yuv) is still accepted with an explicit --size WxH.
 """
 import argparse
 import os
@@ -40,12 +46,30 @@ def write_yuv(path, frames):
             f.write(v.tobytes())
 
 
+def _is_y4m(path, for_input):
+    if path == "-":
+        return True
+    if path.endswith(".y4m"):
+        return True
+    if for_input and os.path.exists(path):
+        with open(path, "rb") as f:
+            return f.read(9) == b"YUV4MPEG2"
+    return False
+
+
+def _limit(frames, n):
+    for i, f in enumerate(frames):
+        if n is not None and i >= n:
+            break
+        yield f
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["encode", "decode"])
-    ap.add_argument("infile")
-    ap.add_argument("outfile")
-    ap.add_argument("--size", required=True, help="WxH")
+    ap.add_argument("infile", help="y4m/yuv/drc path, or - for a pipe")
+    ap.add_argument("outfile", help="drc/y4m/yuv path, or - for a pipe")
+    ap.add_argument("--size", default=None, help="WxH (raw .yuv only)")
     ap.add_argument("--profile", default="lowdelay",
                     choices=["lowdelay", "longgop"])
     ap.add_argument("--bitrate", type=int, default=0)
@@ -53,16 +77,33 @@ def main() -> None:
     ap.add_argument("--gop", type=int, default=24)
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--fps", type=int, default=25)
+    ap.add_argument("--telemetry", action="store_true",
+                    help="decode: draw the MV/split overlay")
     args = ap.parse_args()
-    w, h = (int(t) for t in args.size.split("x"))
 
     from schroedinger_tpu.video_format import ChromaFormat, VideoFormat
-    vf = VideoFormat(width=w, height=h, clean_width=w, clean_height=h,
-                     chroma_format=ChromaFormat.C420,
-                     frame_rate_numerator=args.fps, frame_rate_denominator=1)
 
     if args.cmd == "encode":
-        frames = read_yuv(args.infile, w, h, args.frames)
+        if _is_y4m(args.infile, True):
+            from schroedinger_tpu import y4m
+            src = sys.stdin.buffer if args.infile == "-" else args.infile
+            vf, frames, depth = y4m.read_y4m(src)
+            if depth != 8:
+                print("deep y4m input: use the main-intra API", file=sys.stderr)
+                sys.exit(2)
+            frames = _limit(frames, args.frames)
+            if args.fps != 25:
+                vf.frame_rate_numerator = args.fps
+                vf.frame_rate_denominator = 1
+        else:
+            if not args.size:
+                ap.error("raw .yuv input needs --size WxH")
+            w, h = (int(t) for t in args.size.split("x"))
+            vf = VideoFormat(width=w, height=h, clean_width=w, clean_height=h,
+                             chroma_format=ChromaFormat.C420,
+                             frame_rate_numerator=args.fps,
+                             frame_rate_denominator=1)
+            frames = read_yuv(args.infile, w, h, args.frames)
         if args.profile == "lowdelay":
             from schroedinger_tpu.api import Encoder
             from schroedinger_tpu.config import EncoderConfig
@@ -70,19 +111,39 @@ def main() -> None:
                                             bitrate=args.bitrate,
                                             transform_depth=4,
                                             intra_wavelet=1))
-            stream = enc.encode_stream(frames)
+            stream = enc.encode_stream(list(frames))
+            n = "?"
         else:
             from schroedinger_tpu.encoder.gop import GopEncoder
-            enc = GopEncoder(vf, gop_length=args.gop,
-                             base_qi_intra=args.qi, base_qi_inter=args.qi + 4)
+            kw = dict(gop_length=args.gop, base_qi_intra=args.qi,
+                      base_qi_inter=args.qi + 4)
+            if args.bitrate:
+                kw.update(bitrate=args.bitrate,
+                          fps=vf.frame_rate_numerator
+                          // max(vf.frame_rate_denominator, 1))
+            enc = GopEncoder(vf, **kw)
             stream = enc.encode_stream(frames)
-        open(args.outfile, "wb").write(stream)
-        print(f"encoded {len(frames)} frames -> {len(stream)} bytes")
+            n = enc.frame_number
+        out = sys.stdout.buffer if args.outfile == "-" \
+            else open(args.outfile, "wb")
+        out.write(stream)
+        out.flush()
+        print(f"encoded {n} frames -> {len(stream)} bytes", file=sys.stderr)
     else:
         from schroedinger_tpu.decoder.core import StreamDecoder
-        frames = StreamDecoder().decode_stream(open(args.infile, "rb").read())
-        write_yuv(args.outfile, frames)
-        print(f"decoded {len(frames)} frames")
+        data = (sys.stdin.buffer.read() if args.infile == "-"
+                else open(args.infile, "rb").read())
+        dec = StreamDecoder(telemetry=args.telemetry or None)
+        frames = dec.decode_stream(data)
+        if _is_y4m(args.outfile, False):
+            from schroedinger_tpu import y4m
+            dst = sys.stdout.buffer if args.outfile == "-" else args.outfile
+            wr = y4m.Y4MWriter(dst, dec.vf)
+            wr.write_frames(frames)
+            wr.close()
+        else:
+            write_yuv(args.outfile, frames)
+        print(f"decoded {len(frames)} frames", file=sys.stderr)
 
 
 if __name__ == "__main__":
