@@ -18,3 +18,28 @@ output is bit-exact for lossless VC-2 configurations.
 __version__ = "0.1.0"
 
 from schroedinger_tpu.wavelets import Wavelet  # noqa: F401
+
+
+def clear_compiled_caches():
+    """Drop every module-level cache of jitted programs and ask JAX to
+    release its compilation caches.
+
+    The fused inter/intra/lowdelay steps are huge XLA programs keyed on
+    many shape/feature axes; a long-lived process that encodes many
+    distinct configurations (e.g. a test suite, or a transcode farm
+    worker) otherwise accumulates compiled executables without bound —
+    round 2's full-suite crash was XLA CPU compile-state exhaustion after
+    ~124 tests.  Call between jobs/modules to return to a near-fresh
+    compile state."""
+    import jax
+
+    from schroedinger_tpu.encoder import inter, lowdelay, ratecontrol
+    from schroedinger_tpu.ops import obmc
+
+    inter._ME_CACHE.clear()
+    ratecontrol._STATS_CACHE.clear()
+    lowdelay._ANALYZE_CACHE.clear()
+    lowdelay._TRANSFORM_CACHE.clear()
+    lowdelay._HOST_CACHE.clear()
+    obmc._RENDER_CACHE.clear()
+    jax.clear_caches()
