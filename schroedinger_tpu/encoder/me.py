@@ -28,17 +28,15 @@ ME_BOUND_PEL = 124
 
 
 def _pallas_me_enabled() -> bool:
-    """Use the Pallas patch-refine kernel (ops/pallas_me.py) for the ME
-    SAD scans.  Default: on for TPU backends, off on CPU (where only the
-    slow interpreter exists).  Override with SCHRO_TPU_PALLAS_ME=0/1."""
+    """Use the experimental Pallas patch-refine kernel (ops/pallas_me.py)
+    for the ME hint-refine scans.  Default OFF everywhere: on v5e the
+    per-block-DMA kernel measured 45x slower than the XLA dynamic-slice
+    gather it replaces (see ops/pallas_me.py header for the numbers), so
+    the production path is the jnp gather + the dense coarse scan.
+    Opt in with SCHRO_TPU_PALLAS_ME=1 (bit-exact either way)."""
     import os
-    raw = os.environ.get("SCHRO_TPU_PALLAS_ME", "auto")
-    if raw == "auto":
-        try:
-            return jax.default_backend() == "tpu"
-        except Exception:  # pragma: no cover
-            return False
-    return raw not in ("", "0", "off")
+    return os.environ.get("SCHRO_TPU_PALLAS_ME", "0") not in ("", "0",
+                                                              "off", "auto")
 
 
 def downsample2(x):
@@ -106,6 +104,33 @@ def _extract_ref_patches(P, mv_y, mv_x, nby, nbx, bs_y, bs_x, rad, margin):
         return jax.lax.dynamic_slice(P, (a, b), (ph, pw))
 
     return jax.vmap(slc)(oy, ox).astype(jnp.int32)
+
+
+def _dense_scan(c, r, nby, nbx, bs_y, bs_x, rad):
+    """Exhaustive (2rad+1)^2 scan around zero displacement as dense
+    shifted SADs — no gather at all: every candidate is a static slice of
+    the edge-padded reference, box-summed per block.  Bit-identical to
+    _patch_refine(cb, P, 0, 0, ..., rad, margin) (same edge clamp, same
+    (dy, dx) lexicographic tie order) but maps to pure VPU work, which is
+    how the coarse pyramid level should run on TPU (the reference's
+    hint-free coarsest scan, schroroughmotion.c:65-141).
+
+    c, r: (nby*bs_y, nbx*bs_x) images.  Returns (dy, dx, sad)."""
+    K = 2 * rad + 1
+    H, W = c.shape
+    ci = c.astype(jnp.int32)
+    Ppad = jnp.pad(r.astype(jnp.int32), rad, mode="edge")
+    sads = []
+    for a in range(K):
+        for b in range(K):
+            d = jnp.abs(ci - Ppad[a:a + H, b:b + W])
+            sads.append(d.reshape(nby, bs_y, nbx, bs_x).sum((1, 3)))
+    s = jnp.stack(sads)                       # (K*K, nby, nbx)
+    best = jnp.argmin(s, axis=0)
+    dy = best // K - rad
+    dx = best % K - rad
+    sad = jnp.take_along_axis(s, best[None], axis=0)[0]
+    return dy.astype(jnp.int32), dx.astype(jnp.int32), sad
 
 
 def _patch_refine(c_blocks, P, mv_y, mv_x, nby, nbx, bs_y, bs_x, rad,
@@ -221,12 +246,10 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
             cb = _to_blocks(c.astype(jnp.int32), nby, bs_y, nbx, bs_x)
             P = _pad_ref(r, margin)
             if mv is None:
-                # coarsest level: exhaustive (2*coarse_radius+1)^2 scan,
-                # expressed as a patch refine around the zero vector
-                zero = jnp.zeros((nby, nbx), jnp.int32)
-                my, mx, sad = refine_dispatch(cb, P, zero, zero, nby, nbx,
-                                              bs_y, bs_x, coarse_radius,
-                                              bound=0)
+                # coarsest level: exhaustive (2*coarse_radius+1)^2 scan
+                # as dense shifted SADs (no gather, no Pallas needed)
+                my, mx, sad = _dense_scan(c, r, nby, nbx, bs_y, bs_x,
+                                          coarse_radius)
                 mv = jnp.stack([my, mx], axis=-1)
             else:
                 # upsample hints to this level's grid, scale x2

@@ -35,3 +35,22 @@ def test_patch_refine_matches_jnp(rad, bs):
     np.testing.assert_array_equal(np.asarray(gs), np.asarray(es))
     np.testing.assert_array_equal(np.asarray(gy), np.asarray(ey))
     np.testing.assert_array_equal(np.asarray(gx), np.asarray(ex))
+
+
+def test_dense_scan_matches_patch_refine():
+    """Coarse-level dense shifted-SAD scan == patch refine around zero."""
+    nby, nbx, bs, rad = 7, 11, 4, 8
+    rng = np.random.default_rng(3)
+    c = rng.integers(0, 255, (nby * bs, nbx * bs)).astype(np.uint8)
+    r = rng.integers(0, 255, (nby * bs, nbx * bs)).astype(np.uint8)
+    margin = rad + 16
+    cb = me_mod._to_blocks(jnp.asarray(c, jnp.int32), nby, bs, nbx, bs)
+    P = me_mod._pad_ref(jnp.asarray(r), margin)
+    zero = jnp.zeros((nby, nbx), jnp.int32)
+    ey, ex, es = me_mod._patch_refine(cb, P, zero, zero, nby, nbx, bs, bs,
+                                      rad, margin)
+    gy, gx, gs = me_mod._dense_scan(jnp.asarray(c), jnp.asarray(r),
+                                    nby, nbx, bs, bs, rad)
+    np.testing.assert_array_equal(np.asarray(gs), np.asarray(es))
+    np.testing.assert_array_equal(np.asarray(gy), np.asarray(ey))
+    np.testing.assert_array_equal(np.asarray(gx), np.asarray(ex))
