@@ -163,10 +163,29 @@ class Encoder:
             intra_w = inter_w = Wavelet.HAAR_0
         magic = {k: float(cfg.get("magic_" + k)) for k in (
             "subband0_lambda_scale", "diagonal_lambda_scale",
+            "chroma_lambda_scale",
             "me_lambda_scale", "I_lambda_scale", "P_lambda_scale",
             "B_lambda_scale", "inter_cpd_scale", "keyframe_weight",
             "inter_p_weight", "inter_b_weight", "allocation_scale",
+            "badblock_multiplier_nonref", "badblock_multiplier_ref",
+            "block_search_threshold", "scan_distance",
             "me_bailout_limit")}
+        est = []
+        if not cfg.get("enable_hierarchical_estimation"):
+            est.append("no_hierarchical")
+        if not cfg.get("enable_deep_estimation"):
+            est.append("no_deep")
+        if not cfg.get("enable_bigblock_estimation"):
+            est.append("no_bigblock")
+        if not (cfg.get("enable_zero_estimation")
+                or cfg.get("enable_bigblock_estimation")):
+            est.append("no_zero")
+        if cfg.get("enable_chroma_me") and cfg.get("enable_deep_estimation"):
+            # like the reference, chroma ME needs the deep estimator
+            # (schroencoder.c:646-648)
+            est.append("chroma_me")
+        if cfg.get("enable_fullscan_estimation"):
+            est.append("fullscan")
         self._gop = GopEncoder(
             self.vf,
             intra_wavelet=intra_w,
@@ -210,6 +229,8 @@ class Encoder:
             buffer_level=int(cfg.get("buffer_level")),
             pipeline_depth=max(1, min(int(cfg.get("queue_depth")) - 1, 8)),
             downsample_levels=int(cfg.get("downsample_levels")),
+            max_refs=int(cfg.get("max_refs")),
+            estimation=tuple(est),
             magic=magic)
 
     # ---- push/pull ------------------------------------------------------

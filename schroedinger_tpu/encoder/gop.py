@@ -35,7 +35,6 @@ class GopEncoder:
                  mv_precision: int = 0,
                  enable_scene_change: bool = True,
                  scene_change_threshold: float = 3.0,
-                 b_frames: int = 0,
                  enable_phasecorr: bool = False,
                  quantiser_engine=None,
                  stats=None,
@@ -59,6 +58,8 @@ class GopEncoder:
                  buffer_size: int = 0,
                  buffer_level: int = 0,
                  downsample_levels: int = 5,
+                 max_refs: int = 3,
+                 estimation: tuple = (),
                  magic: Optional[dict] = None):
         self.vf = video_format
         self.intra_wavelet = intra_wavelet
@@ -84,13 +85,15 @@ class GopEncoder:
             from schroedinger_tpu.utils.telemetry import FrameStats
             stats = FrameStats()
         self.stats = stats
-        self.b_frames = b_frames
         self.field_factor = 2 if video_format.interlaced_coding else 1
         self.enable_phasecorr = enable_phasecorr
         self.qengine = quantiser_engine
         self.pipeline_depth = pipeline_depth
-        self._bbuf = []  # buffered (num, planes) awaiting the next reference
         self._last_stats = None  # newest finished frame's (bits61, err61)
+        if max_refs < 2 and gop_structure == "biref":
+            # a 1-deep reference buffer cannot host the tworef engine's
+            # forward references: degrade to the backref (IPPP) engine
+            gop_structure = "backref"
         self.gop_structure = gop_structure
         self.subgroup_length = subgroup_length
         self.base_qi_b = (base_qi_b if base_qi_b is not None
@@ -101,6 +104,7 @@ class GopEncoder:
         self._refbuf = {}         # biref: picture number -> expired flag
         self._enc_last_ref = None  # mirrors encoder->last_ref
         self._au_frame = None     # picture number of the last AU intra
+        self._last_badblock = 0.0  # newest frame's badblock ratio
         self._sent_stream_aux = False  # codec/bitrate aux emitted yet?
         self.perceptual_weighting = perceptual_weighting
         self.perceptual_distance = perceptual_distance
@@ -115,13 +119,24 @@ class GopEncoder:
         self.filtering = filtering
         self.filter_value = filter_value
         self.downsample_levels = downsample_levels
+        # decoder-visible reference-buffer budget (schroengine.c:127-245
+        # manages up to 4; the max_refs setting caps it)
+        self.max_refs = max(1, int(max_refs))
+        # estimation-stage switches (enable_*_estimation settings):
+        # tokens among {no_hierarchical, no_deep, no_bigblock, no_zero,
+        # chroma_me, fullscan}, resolved by inter._get_p_step
+        self.estimation = tuple(estimation)
         # magic_* tuning constants (schroencoder.c:4513-4535 defaults)
         m = dict(subband0_lambda_scale=10.0, diagonal_lambda_scale=1.0,
+                 chroma_lambda_scale=0.1,
                  me_lambda_scale=1.0, I_lambda_scale=1.0,
                  P_lambda_scale=0.25, B_lambda_scale=0.01,
                  inter_cpd_scale=1.0, keyframe_weight=7.5,
                  inter_p_weight=1.5, inter_b_weight=0.2,
-                 allocation_scale=1.1, me_bailout_limit=0.33)
+                 allocation_scale=1.1, me_bailout_limit=0.33,
+                 badblock_multiplier_ref=8.0,
+                 badblock_multiplier_nonref=4.0,
+                 block_search_threshold=15.0, scan_distance=4.0)
         m.update(magic or {})
         self.magic = m
         self.rc = None
@@ -152,7 +167,7 @@ class GopEncoder:
                 allocation_scale=self.magic["allocation_scale"])
         if (self.qengine is not None
                 and getattr(self.qengine, "band_scales", None) is None):
-            self.qengine.band_scales = self._band_scales(False)
+            self.qengine.band_scales = self._band_scales3(False)
 
     def _params(self, num_refs: int) -> Params:
         p = Params(video_format=self.vf, num_refs=num_refs,
@@ -291,33 +306,15 @@ class GopEncoder:
                     and self.last_ref is not None):
                 is_intra = True
 
-        if self.b_frames and not is_intra and self.last_ref is not None \
-                and len(self._bbuf) < self.b_frames:
-            self._bbuf.append((num, planes))
-            self.frame_number += 1
-            return b""
-
-        out = bytearray()
-        prev_ref_num = self.last_ref
-        out += self._encode_ref(planes, num, is_intra, sc_score)
-        if self._bbuf:
-            for bnum, bplanes in self._bbuf:
-                out += self._encode_b(bplanes, bnum, prev_ref_num, num)
-            self._bbuf = []
-        return bytes(out)
+        return bytes(self._encode_ref(planes, num, is_intra, sc_score))
 
     def flush(self) -> bytes:
-        """Encode any buffered frames (trailing, no future ref)."""
+        """Drain pending coded-order pictures (biref engine)."""
         out = bytearray()
-        if self.gop_structure == "biref":
-            if self._pends2 is not None:
-                out += self._drain_subgroups(final=True)
-                while self._pends2:
-                    out += self._finish_pending2(self._pends2.popleft())
-            return bytes(out)
-        for bnum, bplanes in self._bbuf:
-            out += self._encode_ref(bplanes, bnum, False, 0.0)
-        self._bbuf = []
+        if self.gop_structure == "biref" and self._pends2 is not None:
+            out += self._drain_subgroups(final=True)
+            while self._pends2:
+                out += self._finish_pending2(self._pends2.popleft())
         return bytes(out)
 
     def encode_stream(self, frames) -> bytes:
@@ -330,9 +327,7 @@ class GopEncoder:
         the per-band RD pick runs on device against each frame's own stat
         tables; only the TM5 qf crosses pictures (the reference's
         strictly-ordered quant_slot, schroencoder.c:2110-2142, carries
-        exactly the same state).  constant_error keeps a lagged host pick.
-        Only legacy B-frame buffering falls back to the serial path (the
-        tworef engine supersedes it)."""
+        exactly the same state).  constant_error keeps a lagged host pick."""
         from schroedinger_tpu.encoder import inter as ei_inter
         if self.gop_structure == "biref":
             return self._encode_stream_biref(frames)
@@ -342,13 +337,6 @@ class GopEncoder:
             frames = [fld for fr in frames
                       for fld in ff.split_fields(fr, self.vf.top_field_first)]
         out = bytearray()
-        if self.b_frames:
-            for f in frames:
-                out += self._encode_one(f)
-            out += self.flush()
-            out += self._chain.add([bs.make_eos_unit()], final_eos=True)
-            return bytes(out)
-
         # keep several frames in flight: the tunnel's per-RPC latency and
         # the device compute then overlap (the P-chain dependency lives on
         # device, so depth only delays host entropy coding, not refs)
@@ -385,7 +373,10 @@ class GopEncoder:
                 planes, p, self.ref_frames[self.last_ref],
                 base_qi=self.base_qi_inter,
                 use_phasecorr=self.enable_phasecorr,
-                me_levels=self.downsample_levels, **qargs)
+                me_levels=self.downsample_levels,
+                block_search_threshold=self.magic["block_search_threshold"],
+                scan_distance=self.magic["scan_distance"],
+                estimation=self.estimation, **qargs)
             if pends:
                 ei_inter.prefetch_pending(pends[-1][0])
             # the new recon/upsample device handles become the reference
@@ -421,6 +412,15 @@ class GopEncoder:
             subband0_scale=self.magic["subband0_lambda_scale"],
             diagonal_scale=self.magic["diagonal_lambda_scale"])
 
+    def _band_scales3(self, intra: bool) -> np.ndarray:
+        """Per-(component, band) lambda multipliers, component-major
+        (3*nb,): the luma scales plus magic_chroma_lambda_scale on the
+        chroma components (schroquantiser.c:865-880 — the reference
+        scales lambda per component before the per-band pick)."""
+        s = self._band_scales(intra)
+        c = self.magic["chroma_lambda_scale"]
+        return np.concatenate([s, s * c, s * c])
+
     def _quant_args(self, kind: str, p: Params) -> dict:
         """kwargs for start_inter_picture's quant selection: the on-device
         RD pick (lam_bands) whenever the engine is lambda-driven (CBR TM5,
@@ -431,7 +431,7 @@ class GopEncoder:
             if self.qengine.mode == "constant_lambda":
                 scales = (self.qengine.band_scales
                           if self.qengine.band_scales is not None
-                          else np.ones(nb))
+                          else np.ones(3 * nb))
                 return {"lam_bands": self.qengine.lam * scales,
                         "me_lam": self._me_lam()}
             return {"qi_bands_override": self.qengine.pick(),
@@ -439,7 +439,7 @@ class GopEncoder:
         if self.rc is not None:
             if hasattr(self.rc, "frame_lambda"):   # TM5 (enable_rdo_cbr)
                 return {"lam_bands": (self.rc.frame_lambda(kind)
-                                      * self._band_scales(False)),
+                                      * self._band_scales3(False)),
                         "me_lam": self._me_lam()}
             # allocation engine: host pick against lagged stat tables
             stats = (self._last_stats or self._stats_by_kind.get(kind)
@@ -449,21 +449,31 @@ class GopEncoder:
             if stats is not None:
                 from schroedinger_tpu.encoder.ratecontrol import \
                     pick_bands_rdo
+                # badblock-weighted allocation (schroengine.c:610-617;
+                # the ratio is the newest finished frame's, one frame of
+                # pipeline lag vs the reference's same-frame ME stats)
+                mult = self.magic["badblock_multiplier_nonref" if kind == "B"
+                                  else "badblock_multiplier_ref"]
+                extra = self._last_badblock * mult
                 qi = pick_bands_rdo(stats,
-                                    self.rc.frame_target(kind=kind),
-                                    band_scales=self._band_scales(False),
+                                    self.rc.frame_target(kind=kind,
+                                                         extra_weight=extra),
+                                    band_scales=self._band_scales3(False),
                                     correction=self.rc.correction)
             return {"qi_bands_override": qi, "want_stats": True}
         return {}
 
     def _rc_update(self, kind: str, bits: int, num: int,
-                   est: float = None) -> None:
+                   est: float = None) -> bytes:
+        """Updates the CBR model; returns a PADDING parse unit when the
+        reservoir overran (schroencoder.c:2601-2611), else b''."""
         if self.rc is None:
-            return
+            return b""
         if hasattr(self.rc, "frame_lambda"):
-            self.rc.update(kind, bits, num, self.field_factor)
+            pad = self.rc.update(kind, bits, num, self.field_factor)
         else:
-            self.rc.update(bits, est)
+            pad = self.rc.update(bits, est)
+        return bs.make_padding_unit(pad) if pad else b""
 
     def _me_lam(self) -> float:
         """Mode-decision lambda (frame_me_lambda analog): tracks the
@@ -507,11 +517,13 @@ class GopEncoder:
         return ref0, (max(older) if older else None)
 
     def _pick_retire(self):
-        """Oldest expired ref; forced oldest-overall at 3 buffered refs."""
+        """Oldest expired ref; forced oldest-overall when the buffer holds
+        max_refs pictures (the max_refs setting; schroengine.c:186-205's
+        forced retire)."""
         expired = [n for n, e in self._refbuf.items() if e]
         if expired:
             return min(expired)
-        if len(self._refbuf) >= 3:
+        if len(self._refbuf) >= self.max_refs:
             return min(self._refbuf)
         return None
 
@@ -609,6 +621,8 @@ class GopEncoder:
         from schroedinger_tpu.encoder import inter as ei_inter
         retire = self._pick_retire()
         ref0, ref1 = self._pick_refs(num)
+        if self.max_refs < 2:
+            ref1 = None
         refs = [ref0] if ref1 is None else [ref0, ref1]
         p = self._params(len(refs))
         pending = ei_inter.start_inter_picture(
@@ -617,6 +631,9 @@ class GopEncoder:
             use_phasecorr=self.enable_phasecorr,
             ref2=(self.ref_frames[ref1] if ref1 is not None else None),
             want_recon=True, me_levels=self.downsample_levels,
+            block_search_threshold=self.magic["block_search_threshold"],
+            scan_distance=self.magic["scan_distance"],
+            estimation=self.estimation,
             **self._quant_args("P", p))
         keep = planes if (self.enable_psnr or self.enable_ssim) else None
         meta = (num, refs, retire, True, "P", sc, keep)
@@ -643,6 +660,9 @@ class GopEncoder:
             want_recon=(self.enable_md5 or self.enable_psnr
                         or self.enable_ssim),
             me_levels=self.downsample_levels,
+            block_search_threshold=self.magic["block_search_threshold"],
+            scan_distance=self.magic["scan_distance"],
+            estimation=self.estimation,
             **self._quant_args("B", p))
         keep = planes if (self.enable_psnr or self.enable_ssim) else None
         meta = (num, refs, None, False, "B", sc, keep)
@@ -671,15 +691,19 @@ class GopEncoder:
             self.qengine.update(stats)
         if stats is not None:
             self._stats_by_kind[kind] = stats
+        self._last_badblock = pending.get("badblock_ratio", 0.0)
         if pending.get("qi_bands") is not None and kind != "B":
-            self._last_max_qi = int(np.max(pending["qi_bands"]))
+            nbq = pending["layout"]["nb"]
+            self._last_max_qi = int(np.max(
+                np.asarray(pending["qi_bands"]).ravel()[:nbq]))
+        pad_unit = b""
         if self.rc is not None:
             est = None
             if stats is not None and pending.get("qi_bands") is not None:
                 from schroedinger_tpu.encoder.ratecontrol import \
                     estimate_bits_at
                 est = estimate_bits_at(stats[0], pending["qi_bands"])
-            self._rc_update(kind, len(unit) * 8, num, est)
+            pad_unit = self._rc_update(kind, len(unit) * 8, num, est)
         units = []
         if self.enable_md5 and pending["recon"] is not None:
             from schroedinger_tpu.coding import native as _native
@@ -691,10 +715,14 @@ class GopEncoder:
         self.stats.record(frame=num, intra=False, b_picture=(kind == "B"),
                           bits=len(unit) * 8, sc_score=round(sc, 3),
                           dc_ratio=round(pending.get("dc_ratio", 0.0), 3),
+                          badblock=round(
+                              pending.get("badblock_ratio", 0.0), 3),
                           buffer_level=(self.rc.buffer_level if self.rc
                                         else None),
                           **(self._quality_metrics(pending["recon"], keep)
                              if keep is not None else {}))
+        if pad_unit:
+            units.append(pad_unit)
         return self._chain.add(units)
 
     def _finish_pending(self, pend) -> bytes:
@@ -707,15 +735,19 @@ class GopEncoder:
             self.qengine.update(stats)
         if stats is not None:
             self._last_stats = stats
+        self._last_badblock = pending.get("badblock_ratio", 0.0)
         if pending.get("qi_bands") is not None:
-            self._last_max_qi = int(np.max(pending["qi_bands"]))
+            nbq = pending["layout"]["nb"]
+            self._last_max_qi = int(np.max(
+                np.asarray(pending["qi_bands"]).ravel()[:nbq]))
+        pad_unit = b""
         if self.rc is not None:
             est = None
             if stats is not None and pending.get("qi_bands") is not None:
                 from schroedinger_tpu.encoder.ratecontrol import \
                     estimate_bits_at
                 est = estimate_bits_at(stats[0], pending["qi_bands"])
-            self._rc_update("P", len(unit) * 8, num, est)
+            pad_unit = self._rc_update("P", len(unit) * 8, num, est)
         units = []
         if self.enable_md5:
             from schroedinger_tpu.coding import native as _native
@@ -729,28 +761,9 @@ class GopEncoder:
                           dc_ratio=round(pending.get("dc_ratio", 0.0), 3),
                           **(self._quality_metrics(pending["recon"], keep)
                              if keep is not None else {}))
+        if pad_unit:
+            units.append(pad_unit)
         return self._chain.add(units)
-
-    def _encode_b(self, planes, num, ref1_num, ref2_num) -> bytes:
-        from schroedinger_tpu.encoder.inter import encode_b_picture
-        p = self._params(2)
-        target = None
-        if self.rc:
-            target = (self.rc.B_frame_alloc
-                      if hasattr(self.rc, "frame_lambda")
-                      else self.rc.frame_target(kind="B"))
-        unit = encode_b_picture(planes, p, num, ref1_num,
-                                self.ref_frames[ref1_num], ref2_num,
-                                self.ref_frames[ref2_num],
-                                base_qi=min(60, self.base_qi_inter + 4),
-                                target_bits=target,
-                                rc_correction=self.rc.correction
-                                if self.rc else 1.0)
-        if self.rc:
-            self._rc_update("B", len(unit) * 8, num)
-        self.stats.record(frame=num, intra=False, b_picture=True,
-                          bits=len(unit) * 8)
-        return self._chain.add([unit])
 
     def _encode_ref(self, planes, num, is_intra, sc_score,
                     retired="auto", manage_refs=True) -> bytes:
@@ -772,7 +785,7 @@ class GopEncoder:
             p = self._params(0)
             nb = subband_count(p.transform_depth)
             qm = np.asarray(p.quant_matrix[:nb], np.int32)
-            qi_bands = np.clip(self.base_qi_intra - qm, 0, 60)
+            qi_bands = np.tile(np.clip(self.base_qi_intra - qm, 0, 60), 3)
             intra_lambda = None
             if (self.qengine is not None
                     and self.qengine.mode == "constant_lambda"):
@@ -800,41 +813,45 @@ class GopEncoder:
                 if intra_lambda is not None:
                     qi_bands = qi_from_lambda(
                         stats[0], stats[1], intra_lambda,
-                        band_scales=self._band_scales(True))
+                        band_scales=self._band_scales3(True))
                 elif hasattr(self.rc, "frame_lambda"):
                     qi_bands = qi_from_lambda(
                         stats[0], stats[1], self.rc.frame_lambda("I"),
-                        band_scales=self._band_scales(True))
+                        band_scales=self._band_scales3(True))
                 else:
                     from schroedinger_tpu.encoder.ratecontrol import \
                         pick_bands_rdo
                     qi_bands = pick_bands_rdo(
                         stats, self.rc.frame_target(True),
-                        band_scales=self._band_scales(True),
+                        band_scales=self._band_scales3(True),
                         correction=self.rc.correction)
             qis = {}
             for comp in range(3):
                 for i in range(nb):
                     hcb, vcb = ei_inter._codeblock_counts(p, i)
-                    qis[(comp, i)] = np.full((vcb, hcb),
-                                             int(qi_bands[i]), np.int32)
+                    qis[(comp, i)] = np.full(
+                        (vcb, hcb), int(qi_bands[comp * nb + i]), np.int32)
             unit, recon = ei_intra.encode_picture(planes, p, num,
                                                   quant_indices=qis,
                                                   is_ref=True,
                                                   retired=retired,
                                                   return_recon=True)
             up = None
+            pad_unit = b""
             if self.rc:
-                self._rc_update("I", len(unit) * 8, num)
+                pad_unit = self._rc_update("I", len(unit) * 8, num)
         else:
             p = self._params(1)
             (unit, recon, used_qi, stats, up,
              dc_ratio) = ei_inter.encode_inter_picture(
                 planes, p, num, self.last_ref, self.ref_frames[self.last_ref],
                 base_qi=self.base_qi_inter, is_ref=True,
-                retired=retired, target_bits=None,
+                retired=retired,
                 use_phasecorr=self.enable_phasecorr,
                 me_levels=self.downsample_levels,
+                block_search_threshold=self.magic["block_search_threshold"],
+                scan_distance=self.magic["scan_distance"],
+                estimation=self.estimation,
                 **self._quant_args("P", p))
             if dc_ratio > self.magic.get("me_bailout_limit", 0.33):
                 # intra bailout (schroencoder.c:2373-2384): motion
@@ -848,14 +865,17 @@ class GopEncoder:
                 self.qengine.update(stats)
             if stats is not None:
                 self._last_stats = stats
+            pad_unit = b""
             if self.rc:
-                self._rc_update("P", len(unit) * 8, num)
+                pad_unit = self._rc_update("P", len(unit) * 8, num)
         if self.enable_md5:
             from schroedinger_tpu.coding import native as _native
             units.append(bs.make_aux_unit(
                 bs.AUX_MD5_CHECKSUM,
                 _native.frame_md5(tuple(np.asarray(pl) for pl in recon))))
         units.append(unit)
+        if pad_unit:
+            units.append(pad_unit)
 
         if manage_refs:
             if self.prev_ref is not None:

@@ -97,131 +97,6 @@ def _block_means(plane, dummy, bsep_y, bsep_x, ynb, xnb):
     return jnp.round(m).astype(jnp.int32)
 
 
-def _derive_splits(mv_fields, xnb, ynb):
-    """Per-superblock split from block equality: 0 if all 16 equal, 1 if the
-    four 2x2 quads are internally equal, else 2. Returns (ynb, xnb) array
-    broadcast to blocks."""
-    keys = np.stack([mv_fields[k] for k in
-                     ("pred_mode", "dx1", "dy1", "dc0", "dc1", "dc2")], axis=-1)
-    split = np.full((ynb, xnb), 2, np.int32)
-    for j in range(0, ynb, 4):
-        for i in range(0, xnb, 4):
-            blk = keys[j:j + 4, i:i + 4]
-            if (blk == blk[0, 0]).all():
-                split[j:j + 4, i:i + 4] = 0
-            else:
-                ok1 = all((blk[a:a + 2, b:b + 2] == blk[a, b]).all()
-                          for a in (0, 2) for b in (0, 2))
-                split[j:j + 4, i:i + 4] = 1 if ok1 else 2
-    return split
-
-
-def _enforce_units(mv_fields, split, xnb, ynb):
-    """Make block values consistent with the split units (copy the unit's
-    top-left block into all members)."""
-    for j in range(0, ynb, 4):
-        for i in range(0, xnb, 4):
-            s = split[j, i]
-            if s == 2:
-                continue
-            step = 4 if s == 0 else 2
-            for a in range(0, 4, step):
-                for b in range(0, 4, step):
-                    for k, arr in mv_fields.items():
-                        arr[j + a:j + a + step, i + b:i + b + step] = \
-                            arr[j + a, i + b]
-
-
-def estimate_motion(planes_u8, ref: RefFrame, p: Params, lambda_dc=1.1,
-                    use_phasecorr=False):
-    """Full-pel ME + mode decision. Returns the MV field dict.
-
-    use_phasecorr adds FFT phase-correlation candidate vectors to the
-    search (schromotionest.c:80,1206 under enable_phasecorr_estimation)."""
-    xnb, ynb = p.x_num_blocks, p.y_num_blocks
-    cur_y = jnp.asarray(planes_u8[0])
-    ref_y = jnp.asarray(ref.planes[0])
-    if use_phasecorr:
-        cands = _phasecorr_candidates(p, cur_y, ref_y)
-        me = _get_me(p, n_extra=N_PHASECORR_CANDS)
-        dy, dx, sad_mc = me(cur_y, ref_y, cands)
-    else:
-        me = _get_me(p)
-        dy, dx, sad_mc = me(cur_y, ref_y)
-    if p.mv_precision > 0:
-        pw0, ph0 = p.video_format.picture_luma_size()
-        key = ("subpel", pw0, ph0, p.xbsep_luma, p.ybsep_luma,
-               p.x_num_blocks, p.y_num_blocks, p.mv_precision)
-        fn = _ME_CACHE.get(key)
-        if fn is None:
-            fn = me_mod.make_subpel_refine(ph0, pw0,
-                                           p.xbsep_luma, p.ybsep_luma,
-                                           p.x_num_blocks, p.y_num_blocks,
-                                           p.mv_precision)
-            _ME_CACHE[key] = fn
-        dy_s, dx_s, sad_mc = fn(cur_y, ref.get_upsampled()[0], dy, dx)
-    sad_dc, mean_y = _dc_stats(cur_y, p.ybsep_luma, p.xbsep_luma, ynb, xnb)
-    h_shift = p.video_format.chroma_format.h_shift
-    v_shift = p.video_format.chroma_format.v_shift
-    mean_u = _block_means(jnp.asarray(planes_u8[1]), None,
-                          p.ybsep_luma >> v_shift, p.xbsep_luma >> h_shift,
-                          ynb, xnb)
-    mean_v = _block_means(jnp.asarray(planes_u8[2]), None,
-                          p.ybsep_luma >> v_shift, p.xbsep_luma >> h_shift,
-                          ynb, xnb)
-
-    sad_mc = np.asarray(sad_mc)
-    sad_dc = np.asarray(sad_dc)
-    use_dc = sad_dc.astype(np.float64) * lambda_dc < sad_mc
-    pred_mode = np.where(use_dc, 0, 1).astype(np.int32)
-
-    if p.mv_precision > 0:
-        dx_final = np.asarray(dx_s)
-        dy_final = np.asarray(dy_s)
-    else:
-        dx_final = np.asarray(dx)
-        dy_final = np.asarray(dy)
-    fields = {
-        "split": np.full((ynb, xnb), 2, np.int32),
-        "pred_mode": pred_mode,
-        "using_global": np.zeros((ynb, xnb), np.int32),
-        "dx1": (dx_final * (pred_mode == 1)).astype(np.int32),
-        "dy1": (dy_final * (pred_mode == 1)).astype(np.int32),
-        "dx2": np.zeros((ynb, xnb), np.int32),
-        "dy2": np.zeros((ynb, xnb), np.int32),
-        "dc0": (np.clip(np.asarray(mean_y) - 128, -128, 127)
-                * (pred_mode == 0)).astype(np.int32),
-        "dc1": (np.clip(np.asarray(mean_u) - 128, -128, 127)
-                * (pred_mode == 0)).astype(np.int32),
-        "dc2": (np.clip(np.asarray(mean_v) - 128, -128, 127)
-                * (pred_mode == 0)).astype(np.int32),
-    }
-    split = _derive_splits(fields, xnb, ynb)
-    fields["split"] = split
-    _enforce_units(fields, split, xnb, ynb)
-    return fields
-
-
-def render_prediction(mv, p: Params, ref1: RefFrame,
-                      ref2: Optional[RefFrame] = None):
-    """OBMC prediction planes (s16, offset removed) — same jitted kernel the
-    decoder uses, so encoder/decoder reconstructions match exactly."""
-    mvj = {k: jnp.asarray(v) for k, v in mv.items()}
-    render = obmc.make_render_fn(p, 2 if ref2 is not None else 1)
-    if ref2 is not None:
-        return render(mvj, tuple(ref1.get_upsampled()),
-                      tuple(ref2.get_upsampled()))
-    return render(mvj, tuple(ref1.get_upsampled()))
-
-
-@partial(jax.jit, static_argnums=(2, 3))
-def _residual(plane_u8, pred, iwt_h, iwt_w):
-    """residual = (input - 128) - pred over the picture, zero beyond."""
-    h, w = plane_u8.shape
-    res = plane_u8.astype(jnp.int16) - 128 - pred.astype(jnp.int16)
-    return jnp.pad(res, ((0, iwt_h - h), (0, iwt_w - w)))
-
-
 def _band_shapes(oh: int, ow: int, depth: int):
     """Static (h, w) of each Mallat subband in Dirac index order."""
     from schroedinger_tpu.params import subband_info
@@ -340,7 +215,7 @@ def _derive_splits_dev(keys, ynb, xnb):
     return jnp.repeat(jnp.repeat(split, 4, axis=0), 4, axis=1)
 
 
-def make_rd_split_body(p: Params):
+def make_rd_split_body(p: Params, granularities: bool = True):
     """Per-superblock RD split + mode search — TPU-native replacement for
     the reference's schro_mode_decision (schromotionest.c:520-695 and the
     split-level cost search, entropy estimators schromotionest.h:98-106).
@@ -388,6 +263,21 @@ def make_rd_split_body(p: Params):
 
     def body(c, ref_y, dy, dx, sad_mc, sad_dc, mean_y, mean_u, mean_v, lam):
         f32 = jnp.float32
+        if not granularities:
+            # enable_bigblock_estimation off: per-block modes only, no
+            # quad/superblock RD split (split stays 2 everywhere)
+            mc = (sad_mc * 10 < sad_dc * 11).astype(jnp.int32)
+            zero = jnp.zeros_like(mc)
+            return {
+                "split": jnp.full_like(mc, 2),
+                "pred_mode": mc,
+                "using_global": zero,
+                "dx1": dx * mc, "dy1": dy * mc,
+                "dx2": zero, "dy2": zero,
+                "dc0": jnp.clip(mean_y - 128, -128, 127) * (1 - mc),
+                "dc1": jnp.clip(mean_u - 128, -128, 127) * (1 - mc),
+                "dc2": jnp.clip(mean_v - 128, -128, 127) * (1 - mc),
+            }
         # aggregate MVs per quad / superblock (subpel units)
         qdy, qdx = iavg(pool2(dy), 4), iavg(pool2(dx), 4)
         sdy, sdx = iavg(pool2(pool2(dy)), 16), iavg(pool2(pool2(dx)), 16)
@@ -493,7 +383,7 @@ def make_rd_split_body(p: Params):
     return body
 
 
-def make_rd_split_body2(p: Params):
+def make_rd_split_body2(p: Params, granularities: bool = True):
     """Two-reference RD split + mode search (the tworef-engine analog of
     make_rd_split_body; candidate modes DC/ref1/ref2/biref as the
     reference's schro_mode_decision over SchroMotionField per mode,
@@ -541,6 +431,36 @@ def make_rd_split_body2(p: Params):
 
         def clipf(v):
             return jnp.clip(to_fullpel(v), -B, B)
+
+        if not granularities:
+            # per-block 4-way mode pick only (no quad/superblock split)
+            cb2_ = me_mod._to_blocks(c, ynb, ybsep, xnb, xbsep)
+            p1 = me_mod._extract_ref_patches(P1, clipf(dy1), clipf(dx1),
+                                             ynb, xnb, ybsep, xbsep, 0,
+                                             margin)
+            p2 = me_mod._extract_ref_patches(P2, clipf(dy2), clipf(dx2),
+                                             ynb, xnb, ybsep, xbsep, 0,
+                                             margin)
+            avg = (p1[:, :ybsep, :xbsep] + p2[:, :ybsep, :xbsep] + 1) >> 1
+            sad_bi_ = jnp.abs(cb2_ - avg).sum((1, 2)).reshape(ynb, xnb)
+            costs = jnp.stack([sad_dc.astype(f32) * 1.1, sad1.astype(f32),
+                               sad2.astype(f32),
+                               sad_bi_.astype(f32) * 0.95])
+            mode = jnp.argmin(costs, axis=0).astype(jnp.int32)
+            use1 = ((mode & 1) != 0).astype(jnp.int32)
+            use2 = ((mode & 2) != 0).astype(jnp.int32)
+            is_dc = (mode == 0).astype(jnp.int32)
+            zero = jnp.zeros((ynb, xnb), jnp.int32)
+            return {
+                "split": jnp.full((ynb, xnb), 2, jnp.int32),
+                "pred_mode": mode,
+                "using_global": zero,
+                "dx1": dx1 * use1, "dy1": dy1 * use1,
+                "dx2": dx2 * use2, "dy2": dy2 * use2,
+                "dc0": jnp.clip(mean_y - 128, -128, 127) * is_dc,
+                "dc1": jnp.clip(mean_u - 128, -128, 127) * is_dc,
+                "dc2": jnp.clip(mean_v - 128, -128, 127) * is_dc,
+            }
 
         # current blocks at the three granularities
         cb2 = me_mod._to_blocks(c, ynb, ybsep, xnb, xbsep)
@@ -662,7 +582,8 @@ _P_FIELD_ORDER = ("split", "pred_mode", "using_global", "dx1", "dy1",
 
 def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                 want_recon: bool = True, rdo_pick: bool = False,
-                me_levels: int = 5):
+                me_levels: int = 5, block_search_threshold: float = 15.0,
+                scan_distance: float = 4.0, estimation: tuple = ()):
     """One fused jitted program for a whole inter picture (TPU-first analog
     of the reference's per-stage encoder lifecycle, schroencoder.c:2500-2700):
 
@@ -684,7 +605,10 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
     key = ("pstep",) + vf.picture_luma_size() + (p.transform_depth,
            int(p.wavelet_filter_index), vf.chroma_format, p.mv_precision,
            p.xbsep_luma, p.ybsep_luma, p.xblen_luma, p.yblen_luma, n_extra,
-           want_stats, num_refs, want_recon, rdo_pick, me_levels)
+           want_stats, num_refs, want_recon, rdo_pick, me_levels,
+           round(block_search_threshold * 16), round(scan_distance * 4),
+           tuple(sorted(estimation)), tuple(p.horiz_codeblocks),
+           tuple(p.vert_codeblocks), p.codeblock_mode_index)
     hit = _ME_CACHE.get(key)
     if hit is not None:
         return hit
@@ -712,14 +636,50 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
     QO = jnp.asarray(tables.QUANT_OFFSET_3_8, jnp.int32)
 
     pw0, ph0 = vf.picture_luma_size()
+    # estimation-stage switches (schroencoder.c:638-648 resolves the
+    # enable_*_estimation combinations; our single fused pipeline maps
+    # them to: hierarchical -> the pyramid, deep -> subpel refine +
+    # candidate competition, bigblock -> multi-granularity RD split,
+    # zero -> the zero candidate, chroma_me -> chroma SAD in the
+    # candidate selection, fullscan -> single-level wide dense scan)
+    est = set(estimation)
+    hierarchical = "no_hierarchical" not in est
+    deep = "no_deep" not in est
+    bigblock = "no_bigblock" not in est
+    zero_cand = "no_zero" not in est
+    chroma_me = "chroma_me" in est
+    fullscan = "fullscan" in est
+    coarse_radius = max(1, round(2 * scan_distance))
+    if fullscan:
+        # exhaustive wide scan at full resolution (a bounded analog of
+        # schro_encoder_fullscan_estimation; debug-grade, default off)
+        me_levels = 1
+        coarse_radius = max(coarse_radius, 32)
+        hierarchical = False
+    if not hierarchical:
+        me_levels = 1
+    chroma_geom = None
+    if chroma_me:
+        h_sh = vf.chroma_format.h_shift
+        v_sh = vf.chroma_format.v_shift
+        wc0, hc0 = vf.picture_chroma_size()
+        chroma_geom = (p.ybsep_luma >> v_sh, p.xbsep_luma >> h_sh,
+                       hc0, wc0)
+    # magic_scan_distance drives the exhaustive coarse-scan radius (the
+    # reference's me->scan_distance, schromotionest.c:47); default 4 ->
+    # radius 8, matching the prior fixed radius
     me_body = me_mod.make_me_body(ph0, pw0, p.xbsep_luma,
                                   p.ybsep_luma, xnb, ynb,
-                                  levels=me_levels, n_extra=n_extra)
+                                  levels=me_levels, n_extra=n_extra,
+                                  coarse_radius=coarse_radius,
+                                  candidates=deep, zero_cand=zero_cand,
+                                  chroma=chroma_geom)
     subpel_body = (me_mod.make_subpel_body(
         ph0, pw0, p.xbsep_luma, p.ybsep_luma, xnb, ynb,
-        p.mv_precision) if p.mv_precision > 0 else None)
-    rd_split_body = (make_rd_split_body(p) if num_refs == 1
-                     else make_rd_split_body2(p))
+        p.mv_precision) if p.mv_precision > 0 and deep else None)
+    rd_split_body = (make_rd_split_body(p, granularities=bigblock)
+                     if num_refs == 1
+                     else make_rd_split_body2(p, granularities=bigblock))
     render_body = obmc.make_render_body(p, num_refs)
 
     # single-RPC wire format: the axon tunnel charges high per-transfer
@@ -727,6 +687,41 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
     sizes_lo = [int(s.sum()) for s in sizes3]
     sizes_hi = [int(s[:min(4, len(s))].sum()) for s in sizes3]
     n_fields = len(_P_FIELD_ORDER)
+
+    # real multiquant (enable_multiquant, schroencoder.c:3866-3906 +
+    # schro_encoder_frame_set_quant_index per codeblock): with the
+    # per-codeblock quant-delta syntax on and an RD lambda available, the
+    # step refines each multi-codeblock band's quant index PER CODEBLOCK
+    # against per-codeblock exact (bits, err) sums — the reference's
+    # machinery supports this but its stock engines only ever set uniform
+    # indices; ours actually exploits the syntax.
+    MQ_DELTAS = (-2, -1, 0, 1, 2)
+    mq_bands = []                 # (ci, bi, vcb, hcb, off, bh, bw, maps)
+    if p.codeblock_mode_index == 1 and rdo_pick:
+        for ci in range(3):
+            off = 0
+            for bi, (bh, bw) in enumerate(shapes3[ci]):
+                hcb, vcb = _codeblock_counts(p, bi)
+                if vcb * hcb > 1:
+                    ys = np.asarray([bh * yy // vcb
+                                     for yy in range(vcb + 1)])
+                    xs = np.asarray([bw * xx // hcb
+                                     for xx in range(hcb + 1)])
+                    rmap = np.repeat(np.arange(vcb), np.diff(ys))
+                    cmap = np.repeat(np.arange(hcb), np.diff(xs))
+                    mq_bands.append((ci, bi, vcb, hcb, off, bh, bw,
+                                     (ys, xs, rmap, cmap)))
+                off += bh * bw
+
+    def _cb_sums(a2d, ys, xs):
+        """Per-codeblock sums of a (bh, bw) array at the static Dirac
+        codeblock boundaries (fd.height*y/vcb), via one integral image —
+        no scatters."""
+        cs = jnp.pad(jnp.cumsum(jnp.cumsum(a2d, 0), 1), ((1, 0), (1, 0)))
+        return (cs[ys[1:, None], xs[None, 1:]]
+                - cs[ys[:-1, None], xs[None, 1:]]
+                - cs[ys[1:, None], xs[None, :-1]]
+                + cs[ys[:-1, None], xs[None, :-1]])
 
     rd_margin = me_mod.ME_BOUND_PEL + 16
     pad_h, pad_w = p.ybsep_luma * ynb, p.xbsep_luma * xnb
@@ -762,8 +757,9 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
         y = packed[:ny].reshape(hy_pic, wy_pic)
         u = packed[ny:ny + nc].reshape(hc_pic, wc_pic)
         v = packed[ny + nc:ny + 2 * nc].reshape(hc_pic, wc_pic)
-        dy, dx, sad_mc = (me_body(y, ref_y, extra) if n_extra
-                          else me_body(y, ref_y))
+        cpl1 = ((u, v, up_u[::2, ::2], up_v[::2, ::2])
+                if chroma_geom is not None else None)
+        dy, dx, sad_mc = me_body(y, ref_y, extra, cpl1)
         sad_dc, mean_y = _dc_stats(y, p.ybsep_luma, p.xbsep_luma, ynb, xnb)
         mean_u = _block_means(u, None, p.ybsep_luma >> v_shift,
                               p.xbsep_luma >> h_shift, ynb, xnb)
@@ -771,11 +767,14 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                               p.xbsep_luma >> h_shift, ynb, xnb)
         if subpel_body is not None:
             dy, dx, sad_mc = subpel_body(y, up_y, dy, dx)
+        elif p.mv_precision > 0:
+            dy = dy << p.mv_precision      # deep refine off: scale only
+            dx = dx << p.mv_precision
         # RD split + mode search (schro_mode_decision analog): lambda
         # scales with the quant step (QF/4), ~step/2 SAD per bit; with
         # rdo_pick the caller supplies it (frame_me_lambda analog)
         lam = (me_lam.astype(jnp.float32) if rdo_pick
-               else QF[jnp.max(qi_bands)].astype(jnp.float32) / 8.0)
+               else QF[jnp.max(qi_bands[:nb])].astype(jnp.float32) / 8.0)
         cpad = jnp.pad(y, ((0, pad_h - y.shape[0]),
                            (0, pad_w - y.shape[1])),
                        mode="edge").astype(jnp.int32)
@@ -783,10 +782,14 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
             fields = rd_split_body(cpad, ref_y, dy, dx, sad_mc, sad_dc,
                                    mean_y, mean_u, mean_v, lam)
         else:
-            dy2, dx2, sad2 = (me_body(y, ref2_y, extra) if n_extra
-                              else me_body(y, ref2_y))
+            cpl2 = ((u, v, up2_u[::2, ::2], up2_v[::2, ::2])
+                    if chroma_geom is not None else None)
+            dy2, dx2, sad2 = me_body(y, ref2_y, extra, cpl2)
             if subpel_body is not None:
                 dy2, dx2, sad2 = subpel_body(y, up2_y, dy2, dx2)
+            elif p.mv_precision > 0:
+                dy2 = dy2 << p.mv_precision
+                dx2 = dx2 << p.mv_precision
 
             def padref(r):
                 h, w = r.shape
@@ -798,6 +801,17 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
             fields = rd_split_body(cpad, padref(ref_y), padref(ref2_y),
                                    dy, dx, sad_mc, dy2, dx2, sad2,
                                    sad_dc, mean_y, mean_u, mean_v, lam)
+
+        # badblock ratio (schromotionest.c:114-126 via
+        # magic_block_search_threshold): fraction of blocks whose best
+        # available prediction SAD exceeds threshold x block area —
+        # feeds the allocation engine's picture weight and frame stats
+        bb_thr = jnp.int32(int(block_search_threshold
+                               * p.xbsep_luma * p.ybsep_luma))
+        best_pred = jnp.minimum(sad_mc, sad_dc)
+        if num_refs == 2:
+            best_pred = jnp.minimum(best_pred, sad2)
+        badblock = jnp.mean((best_pred > bb_thr).astype(jnp.float32))
 
         preds = render_body(fields, (up_y, up_u, up_v), ups2)
 
@@ -811,19 +825,21 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
             rc_flat.append(flat)
 
         if want_stats or rdo_pick:
-            # 61-way per-subband (bits, sq-error) estimates, indexed by the
-            # ACTUAL quant index (row q = stats of coding that band at qi=q),
-            # for the quantiser engines, CBR, and the on-device RD pick
-            # (exact-stat analog of schroquantiser.c's estimate tables,
-            # :419-520).  Per-band sums use STATIC slicing, not segment_sum
-            # — scatter ops serialise terribly on TPU.
+            # 61-way per-(component, subband) (bits, sq-error) estimates,
+            # indexed by the ACTUAL quant index (row q = stats of coding
+            # that band at qi=q), for the quantiser engines, CBR, and the
+            # on-device RD pick (exact-stat analog of schroquantiser.c's
+            # estimate tables, :419-520 — which are also per component,
+            # frame->est_entropy[component][band]).  Per-band sums use
+            # STATIC slicing, not segment_sum — scatter ops serialise
+            # terribly on TPU.  Table columns are component-major:
+            # column ci*nb + bi.
             allflat = jnp.concatenate(rc_flat).astype(jnp.int32)
-            # band boundaries within the concatenated flat (3 comps)
             bounds = []
             boff = 0
-            for sizes in sizes3:
+            for ci, sizes in enumerate(sizes3):
                 for bi, bn in enumerate(sizes):
-                    bounds.append((bi, boff, boff + int(bn)))
+                    bounds.append((ci * nb + bi, boff, boff + int(bn)))
                     boff += int(bn)
 
             def one(base):
@@ -832,8 +848,8 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                 dqq = q.dequantise(qqq, QF[base], QO[base])
                 b = _sint_bits(qqq).astype(jnp.float32)
                 e = jnp.square((allflat - dqq).astype(jnp.float32))
-                bsum = [jnp.float32(0)] * nb
-                esum = [jnp.float32(0)] * nb
+                bsum = [jnp.float32(0)] * (3 * nb)
+                esum = [jnp.float32(0)] * (3 * nb)
                 for bi, blo, bhi in bounds:
                     bsum[bi] = bsum[bi] + b[blo:bhi].sum()
                     esum[bi] = esum[bi] + e[blo:bhi].sum()
@@ -842,25 +858,71 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
             rc_bits, rc_err = jax.lax.map(one,
                                           jnp.arange(61, dtype=jnp.int32))
         else:
-            rc_bits = jnp.zeros((61, nb), jnp.float32)
-            rc_err = jnp.zeros((61, nb), jnp.float32)
+            rc_bits = jnp.zeros((61, 3 * nb), jnp.float32)
+            rc_err = jnp.zeros((61, 3 * nb), jnp.float32)
 
         if rdo_pick:
-            # per-band RD argmin, index 60 excluded like the reference
-            # (schro_subband_pick_quant, schroquantiser.c:808-835)
+            # per-(component, band) RD argmin, index 60 excluded like the
+            # reference (schro_subband_pick_quant, schroquantiser.c:808-835)
             cost = rc_bits[:60] + lam_bands[None, :] * rc_err[:60]
             qi_bands = jnp.argmin(cost, axis=0).astype(jnp.int32)
+
+        mq_qi = {}
+        if mq_bands:
+            from schroedinger_tpu.encoder.ratecontrol import _sint_bits
+            for (ci, bi, vcb, hcb, boff, bh, bw,
+                 (ys, xs, rmap, cmap)) in mq_bands:
+                band = rc_flat[ci][boff:boff + bh * bw].astype(
+                    jnp.int32).reshape(bh, bw)
+                qi0 = qi_bands[ci * nb + bi]
+                lamb = lam_bands[ci * nb + bi]
+                costs = []
+                for d in MQ_DELTAS:
+                    qid = jnp.clip(qi0 + d, 0, 59)
+                    qq = q.quantise(band, QF[qid], QO[qid])
+                    dq = q.dequantise(qq, QF[qid], QO[qid])
+                    cb_b = _cb_sums(_sint_bits(qq).astype(jnp.float32),
+                                    ys, xs)
+                    cb_e = _cb_sums(jnp.square(
+                        (band - dq).astype(jnp.float32)), ys, xs)
+                    costs.append(cb_b + lamb * cb_e)
+                pick = jnp.argmin(jnp.stack(costs), axis=0)
+                mq_qi[(ci, bi)] = jnp.clip(
+                    qi0 + jnp.asarray(MQ_DELTAS, jnp.int32)[pick], 0, 59)
 
         outq = []
         outlo = []
         outhi = []
         ovfs = []
         outr = []
-        for flat, pred, shapes, sizes, (oh, ow), (wpic, hpic) in zip(
-                rc_flat, preds, shapes3, sizes3, iwt_dims, pic_sizes):
+        for ci, (flat, pred, shapes, sizes, (oh, ow), (wpic, hpic)) in \
+                enumerate(zip(rc_flat, preds, shapes3, sizes3, iwt_dims,
+                              pic_sizes)):
             n = int(sizes.sum())
-            qf = jnp.repeat(QF[qi_bands], sizes, total_repeat_length=n)
-            qo = jnp.repeat(QO[qi_bands], sizes, total_repeat_length=n)
+            qi_c = qi_bands[ci * nb:(ci + 1) * nb]
+            if mq_qi:
+                # per-coefficient quant maps honoring the per-codeblock
+                # picks for this component's multiquant bands
+                qparts = []
+                boff = 0
+                for bi, (bh, bw) in enumerate(shapes):
+                    cb = mq_qi.get((ci, bi))
+                    if cb is None:
+                        qparts.append(jnp.full((bh * bw,), 0,
+                                               jnp.int32) + qi_c[bi])
+                    else:
+                        (ys, xs, rmap, cmap) = next(
+                            m[7] for m in mq_bands
+                            if m[0] == ci and m[1] == bi)
+                        qparts.append(cb[rmap[:, None],
+                                         cmap[None, :]].reshape(-1))
+                    boff += bh * bw
+                qi_coeff = jnp.concatenate(qparts)
+                qf = QF[qi_coeff]
+                qo = QO[qi_coeff]
+            else:
+                qf = jnp.repeat(QF[qi_c], sizes, total_repeat_length=n)
+                qo = jnp.repeat(QO[qi_c], sizes, total_repeat_length=n)
             qq = q.quantise(flat, qf, qo)
             qq16 = qq.astype(jnp.int16)
             outq.append(qq16)
@@ -891,10 +953,16 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
         fbytes = jax.lax.bitcast_convert_type(f16, jnp.uint8).reshape(-1)
         rcb = jax.lax.bitcast_convert_type(
             jnp.stack([rc_bits, rc_err]), jnp.uint8).reshape(-1)
-        parts = [fbytes, rcb]
+        parts = [fbytes, rcb,
+                 jax.lax.bitcast_convert_type(
+                     badblock[None].astype(jnp.float32),
+                     jnp.uint8).reshape(-1)]
         if rdo_pick:
             parts.append(jax.lax.bitcast_convert_type(
                 qi_bands.astype(jnp.int16), jnp.uint8).reshape(-1))
+        for (ci, bi, vcb, hcb, _o, _h, _w, _m) in mq_bands:
+            parts.append(jax.lax.bitcast_convert_type(
+                mq_qi[(ci, bi)].astype(jnp.int16), jnp.uint8).reshape(-1))
         lob = jnp.concatenate(
             [jax.lax.bitcast_convert_type(a, jnp.uint8) for a in outlo])
         hib = jnp.concatenate(
@@ -906,6 +974,8 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
     layout = {
         "n_fields": n_fields, "yb": ynb, "xb": xnb, "nb": nb,
         "sizes_lo": sizes_lo, "sizes_hi": sizes_hi,
+        "mq": [(ci, bi, vcb, hcb)
+               for (ci, bi, vcb, hcb, _o, _h, _w, _m) in mq_bands],
         "raw_step": step,  # unjitted body for shard_map composition
     }
     fns = (jax.jit(step), shapes3, layout)
@@ -977,7 +1047,10 @@ def start_inter_picture(planes_u8, p: Params, ref1: RefFrame,
                         ref2: Optional[RefFrame] = None,
                         want_recon: bool = True,
                         lam_bands=None, me_lam: float = None,
-                        me_levels: int = 5) -> dict:
+                        me_levels: int = 5,
+                        block_search_threshold: float = 15.0,
+                        scan_distance: float = 4.0,
+                        estimation: tuple = ()) -> dict:
     """Dispatch the fused inter step for one picture (async: XLA queues the
     work; nothing blocks). The returned pending dict carries the device
     handles — `recon`/`up` are usable as the next frame's reference
@@ -997,17 +1070,19 @@ def start_inter_picture(planes_u8, p: Params, ref1: RefFrame,
     qm = np.asarray(p.quant_matrix[:nb], np.int32)
     n_extra = N_PHASECORR_CANDS if use_phasecorr else 0
     rdo_pick = lam_bands is not None
-    stepfn, shapes3, layout = _get_p_step(p, n_extra=n_extra,
-                                          want_stats=want_stats,
-                                          want_recon=want_recon,
-                                          rdo_pick=rdo_pick,
-                                          me_levels=me_levels)
+    stepfn, shapes3, layout = _get_p_step(
+        p, n_extra=n_extra, want_stats=want_stats, want_recon=want_recon,
+        rdo_pick=rdo_pick, me_levels=me_levels,
+        block_search_threshold=block_search_threshold,
+        scan_distance=scan_distance, estimation=tuple(estimation))
     if rdo_pick:
         qi_bands = None
     elif qi_bands_override is not None:
         qi_bands = np.asarray(qi_bands_override, np.int32)
+        if qi_bands.size == nb:          # shared across components
+            qi_bands = np.tile(qi_bands, 3)
     else:
-        qi_bands = np.clip(base_qi - qm, 0, 60).astype(np.int32)
+        qi_bands = np.tile(np.clip(base_qi - qm, 0, 60), 3).astype(np.int32)
     ups = ref1.get_upsampled()
     # one upload: all three planes in a single u8 vector
     packed = jnp.asarray(np.concatenate(
@@ -1018,6 +1093,9 @@ def start_inter_picture(planes_u8, p: Params, ref1: RefFrame,
         args = args + (jnp.asarray(ref2.planes[0]),
                        ups2[0], ups2[1], ups2[2])
     if rdo_pick:
+        lam_bands = np.asarray(lam_bands, np.float64)
+        if lam_bands.size == nb:
+            lam_bands = np.tile(lam_bands, 3)
         args = args + (jnp.asarray(lam_bands, jnp.float32),
                        jnp.float32(me_lam if me_lam is not None
                                    else float(tables.QUANT_FACTOR[base_qi])
@@ -1033,8 +1111,8 @@ def start_inter_picture(planes_u8, p: Params, ref1: RefFrame,
     return {
         "p": p, "outs": outs, "qi_bands": qi_bands, "shapes3": shapes3,
         "layout": layout, "rdo": rdo_pick,
-        "base_qi": (int(qi_bands[0] + qm[0]) if qi_bands is not None
-                    else base_qi),
+        "base_qi": (int(np.asarray(qi_bands).ravel()[0] + qm[0])
+                    if qi_bands is not None else base_qi),
         "want_stats": want_stats,
         "recon": (outs[4], outs[5], outs[6]) if want_recon else None,
         "up": None,
@@ -1066,14 +1144,25 @@ def finish_inter_picture(pending: dict, frame_number: int, ref1_num: int,
     f16 = np.frombuffer(wire, np.int16, nf * yb * xb, off).reshape(
         nf, yb, xb)
     off += nf * yb * xb * 2
-    rc = np.frombuffer(wire, np.float32, 2 * 61 * nb, off).reshape(
-        2, 61, nb)
-    off += 2 * 61 * nb * 4
+    rc = np.frombuffer(wire, np.float32, 2 * 61 * 3 * nb, off).reshape(
+        2, 61, 3 * nb)
+    off += 2 * 61 * 3 * nb * 4
+    pending["badblock_ratio"] = float(
+        np.frombuffer(wire, np.float32, 1, off)[0])
+    off += 4
     qi_bands = pending["qi_bands"]
     if pending.get("rdo"):
-        qi_bands = np.frombuffer(wire, np.int16, nb, off).astype(np.int32)
-        off += nb * 2
+        qi_bands = np.frombuffer(wire, np.int16, 3 * nb,
+                                 off).astype(np.int32)
+        off += 3 * nb * 2
         pending["qi_bands"] = qi_bands
+    qi_cb = {}
+    for (ci, bi, vcb, hcb) in lay.get("mq", ()):
+        qi_cb[(ci, bi)] = np.frombuffer(
+            wire, np.int16, vcb * hcb, off).astype(np.int32).reshape(
+            vcb, hcb)
+        off += vcb * hcb * 2
+    pending["qi_cb"] = qi_cb
     mv = {k: np.ascontiguousarray(f16[i].astype(np.int32))
           for i, k in enumerate(_P_FIELD_ORDER)}
     # DC-block ratio: the reference's intra-bailout / badblock signal
@@ -1114,7 +1203,8 @@ def finish_inter_picture(pending: dict, frame_number: int, ref1_num: int,
              float(np.mean(np.hypot(mv["dx1"], mv["dy1"]))))
     with timers.span("p_entropy"):
         unit = _write_p_unit(p, frame_number, refs, is_ref, retired, mv,
-                             host_q, pending["shapes3"], qi_bands)
+                             host_q, pending["shapes3"], qi_bands,
+                             qi_cb=qi_cb)
     return unit, stats
 
 
@@ -1122,59 +1212,52 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
                          ref1_num: int, ref1: RefFrame,
                          base_qi: int = 20, is_ref: bool = True,
                          retired: Optional[int] = None,
-                         target_bits: Optional[int] = None,
-                         rc_correction: float = 1.0,
                          use_phasecorr: bool = False,
                          qi_bands_override=None,
                          want_stats: bool = False,
                          lam_bands=None, me_lam: float = None,
-                         me_levels: int = 5):
-    """Encode one P picture. Returns (parse_unit_bytes, recon_planes,
-    used_base_qi, stats, up_planes) where stats is (bits61, err61)
-    per-subband estimate tables from the fused path (None on the CBR
-    path), consumed by the constant-lambda / constant-error quantiser
-    engines next frame.  qi_bands_override: explicit per-subband quant
-    indices (nb,) chosen by a quantiser engine; lam_bands: on-device RD
-    pick (see start_inter_picture)."""
+                         me_levels: int = 5,
+                         block_search_threshold: float = 15.0,
+                         scan_distance: float = 4.0,
+                         estimation: tuple = ()):
+    """Encode one P picture (start + finish of the fused step).  Returns
+    (parse_unit_bytes, recon_planes, used_base_qi, stats, up_planes,
+    dc_ratio) where stats is (bits61, err61) per-(component, subband)
+    estimate tables from the fused path (None on the CBR path), consumed
+    by the constant-lambda / constant-error quantiser engines next frame.
+    qi_bands_override: explicit per-subband quant indices, (nb,) shared
+    or (3*nb,) per component; lam_bands: on-device RD pick (see
+    start_inter_picture)."""
     assert _native is not None
-    depth = p.transform_depth
-    nb = subband_count(depth)
-    vf = p.video_format
-
-    qm = np.asarray(p.quant_matrix[:nb], np.int32)
-
-    if target_bits is None:
-        pend = start_inter_picture(planes_u8, p, ref1, base_qi=base_qi,
-                                   use_phasecorr=use_phasecorr,
-                                   qi_bands_override=qi_bands_override,
-                                   want_stats=want_stats,
-                                   lam_bands=lam_bands, me_lam=me_lam,
-                                   me_levels=me_levels)
-        unit, stats = finish_inter_picture(pend, frame_number, ref1_num,
-                                           is_ref=is_ref, retired=retired)
-        return unit, pend["recon"], base_qi, stats, pend["up"], \
-            pend.get("dc_ratio", 0.0)
-    mv = estimate_motion(planes_u8, ref1, p, use_phasecorr=use_phasecorr)
-    preds = render_prediction(mv, p, ref1)
-    tfn, rcfn, qrfn, shapes3 = _get_p_pipeline(p, want_recon=True)
-    flats = tfn(jnp.asarray(planes_u8[0]), jnp.asarray(planes_u8[1]),
-                jnp.asarray(planes_u8[2]), *preds)
-    bits = np.asarray(rcfn(*flats)).astype(np.float64) * rc_correction
-    fits = np.nonzero(bits <= target_bits)[0]
-    base_qi = int(fits[0]) if len(fits) else 60
-    qi_bands = np.clip(base_qi - qm, 0, 60).astype(np.int32)
-    outs = qrfn(*flats, *preds, jnp.asarray(qi_bands))
-    host_q = jax.device_get(outs[:3])    # one batched transfer
-    recon_planes = outs[3:]              # stays on device
-    unit = _write_p_unit(p, frame_number, [ref1_num], is_ref, retired, mv,
-                         host_q, shapes3, qi_bands)
-    return unit, tuple(recon_planes), base_qi, None, None, 0.0
+    pend = start_inter_picture(planes_u8, p, ref1, base_qi=base_qi,
+                               use_phasecorr=use_phasecorr,
+                               qi_bands_override=qi_bands_override,
+                               want_stats=want_stats,
+                               lam_bands=lam_bands, me_lam=me_lam,
+                               me_levels=me_levels,
+                               block_search_threshold=block_search_threshold,
+                               scan_distance=scan_distance,
+                               estimation=estimation)
+    unit, stats = finish_inter_picture(pend, frame_number, ref1_num,
+                                       is_ref=is_ref, retired=retired)
+    return unit, pend["recon"], base_qi, stats, pend["up"], \
+        pend.get("dc_ratio", 0.0)
 
 
 def _write_p_unit(p: Params, frame_number: int, refs, is_ref: bool,
-                  retired: Optional[int], mv, host_q, shapes3, qi_bands):
-    """Host entropy coding + parse-unit assembly for an inter picture."""
+                  retired: Optional[int], mv, host_q, shapes3, qi_bands,
+                  qi_cb=None):
+    """Host entropy coding + parse-unit assembly for an inter picture.
+
+    qi_bands: per-(component, band) quant indices, component-major
+    (3*nb,), or (nb,) shared across components — the stream writes one
+    quant index per band per component either way (the bitstream always
+    carried this freedom; the reference also picks per-component,
+    schroquantiser.c:855-880)."""
     nb = subband_count(p.transform_depth)
+    qiv = np.asarray(qi_bands).ravel()
+    if qiv.size == nb:
+        qiv = np.tile(qiv, 3)
     num_refs = len(refs)
     w = BitWriter()
     code = parse_code_picture(is_ref, num_refs, False, False)
@@ -1219,7 +1302,7 @@ def _write_p_unit(p: Params, frame_number: int, refs, is_ref: bool,
         for index in range(nb):
             hcb, vcb = _codeblock_counts(p, index)
             position = subband_position(index)
-            qi = int(qi_bands[index])
+            qi = int(qiv[comp * nb + index])
             qdata = bands[index]
             w.sync()
             if not np.any(qdata):
@@ -1228,189 +1311,12 @@ def _write_p_unit(p: Params, frame_number: int, refs, is_ref: bool,
             # parent context is a zero-test, so quantised data is
             # equivalent to the dequantised values the spec describes
             parent_q = bands[index - 3] if position >= 4 else None
+            cbqi = (qi_cb or {}).get((comp, index))
+            if cbqi is None:
+                cbqi = np.full((vcb, hcb), qi, np.int32)
             payload, first_qi = sb.encode_subband_arith(
                 qdata, parent_q, position, hcb, vcb,
-                p.codeblock_mode_index == 1,
-                np.full((vcb, hcb), qi, np.int32))
-            w.write_uint(len(payload))
-            if first_qi == -1:
-                first_qi = qi
-            w.write_uint(first_qi)
-            w.sync()
-            w.write_bytes(bytes(payload))
-    w.sync()
-    return w.get_bytes()
-
-
-@partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _mode_stats_biref(cur_y, ref1_y, ref2_y, mvs, ybsep, xbsep, ynb, xnb):
-    """Per-block SADs for ref1/ref2/biref given per-ref full-pel MV fields.
-
-    mvs: (2, yb, xb, 2). Returns (sad1, sad2, sad_bi, sad_dc, mean)."""
-    H = ybsep * ynb
-    W = xbsep * xnb
-    h, w = cur_y.shape
-    c = jnp.pad(cur_y, ((0, H - h), (0, W - w)), mode="edge").astype(jnp.int32)
-
-    def sample(ref_y, mv):
-        r = jnp.pad(ref_y, ((0, H - h), (0, W - w)), mode="edge")
-        dy_pix = jnp.repeat(jnp.repeat(mv[..., 0], ybsep, 0), xbsep, 1)
-        dx_pix = jnp.repeat(jnp.repeat(mv[..., 1], ybsep, 0), xbsep, 1)
-        yy = jnp.arange(H)[:, None]
-        xx = jnp.arange(W)[None, :]
-        sy = jnp.clip(yy + dy_pix, 0, H - 1)
-        sx = jnp.clip(xx + dx_pix, 0, W - 1)
-        return r[sy, sx].astype(jnp.int32)
-
-    p1 = sample(ref1_y, mvs[0])
-    p2 = sample(ref2_y, mvs[1])
-
-    def bsum(x):
-        return x.reshape(ynb, ybsep, xnb, xbsep).sum((1, 3))
-
-    sad1 = bsum(jnp.abs(c - p1))
-    sad2 = bsum(jnp.abs(c - p2))
-    sad_bi = bsum(jnp.abs(c - ((p1 + p2 + 1) >> 1)))
-    bmean = jnp.round(c.reshape(ynb, ybsep, xnb, xbsep).mean((1, 3))
-                      ).astype(jnp.int32)
-    sad_dc = bsum(jnp.abs(c - jnp.repeat(jnp.repeat(bmean, ybsep, 0),
-                                         xbsep, 1)))
-    return sad1, sad2, sad_bi, sad_dc, bmean
-
-
-def estimate_motion_biref(planes_u8, ref1: RefFrame, ref2: RefFrame,
-                          p: Params, lambda_dc=1.1, lambda_bi=0.95):
-    """Two-ref ME + 4-way mode decision (DC/ref1/ref2/biref)."""
-    xnb, ynb = p.x_num_blocks, p.y_num_blocks
-    cur_y = jnp.asarray(planes_u8[0])
-    me = _get_me(p)
-    dys, dxs = [], []
-    for ref in (ref1, ref2):
-        dy, dx, _ = me(cur_y, jnp.asarray(ref.planes[0]))
-        dys.append(dy)
-        dxs.append(dx)
-    mvs = jnp.stack([jnp.stack([dys[i], dxs[i]], axis=-1) for i in range(2)])
-    sad1, sad2, sad_bi, sad_dc, mean_y = _mode_stats_biref(
-        cur_y, jnp.asarray(ref1.planes[0]), jnp.asarray(ref2.planes[0]),
-        mvs, p.ybsep_luma, p.xbsep_luma, ynb, xnb)
-
-    h_shift = p.video_format.chroma_format.h_shift
-    v_shift = p.video_format.chroma_format.v_shift
-    mean_u = _block_means(jnp.asarray(planes_u8[1]), None,
-                          p.ybsep_luma >> v_shift, p.xbsep_luma >> h_shift,
-                          ynb, xnb)
-    mean_v = _block_means(jnp.asarray(planes_u8[2]), None,
-                          p.ybsep_luma >> v_shift, p.xbsep_luma >> h_shift,
-                          ynb, xnb)
-
-    costs = np.stack([np.asarray(sad_dc) * lambda_dc, np.asarray(sad1),
-                      np.asarray(sad2), np.asarray(sad_bi) * lambda_bi])
-    pred_mode = np.argmin(costs, axis=0).astype(np.int32)
-
-    prec_scale = 1 << p.mv_precision
-    use1 = ((pred_mode & 1) != 0)
-    use2 = ((pred_mode & 2) != 0)
-    fields = {
-        "split": np.full((ynb, xnb), 2, np.int32),
-        "pred_mode": pred_mode,
-        "using_global": np.zeros((ynb, xnb), np.int32),
-        "dx1": (np.asarray(dxs[0]) * prec_scale * use1).astype(np.int32),
-        "dy1": (np.asarray(dys[0]) * prec_scale * use1).astype(np.int32),
-        "dx2": (np.asarray(dxs[1]) * prec_scale * use2).astype(np.int32),
-        "dy2": (np.asarray(dys[1]) * prec_scale * use2).astype(np.int32),
-        "dc0": (np.clip(np.asarray(mean_y) - 128, -128, 127)
-                * (pred_mode == 0)).astype(np.int32),
-        "dc1": (np.clip(np.asarray(mean_u) - 128, -128, 127)
-                * (pred_mode == 0)).astype(np.int32),
-        "dc2": (np.clip(np.asarray(mean_v) - 128, -128, 127)
-                * (pred_mode == 0)).astype(np.int32),
-    }
-    keys_extra = ("dx2", "dy2")
-    split = _derive_splits(fields, xnb, ynb)
-    fields["split"] = split
-    _enforce_units(fields, split, xnb, ynb)
-    return fields
-
-
-def encode_b_picture(planes_u8, p: Params, frame_number: int,
-                     ref1_num: int, ref1: RefFrame,
-                     ref2_num: int, ref2: RefFrame,
-                     base_qi: int = 24,
-                     target_bits: Optional[int] = None,
-                     rc_correction: float = 1.0) -> bytes:
-    """Encode one non-reference B picture (2 refs, biref OBMC)."""
-    assert _native is not None
-    depth = p.transform_depth
-    nb = subband_count(depth)
-    vf = p.video_format
-
-    mv = estimate_motion_biref(planes_u8, ref1, ref2, p)
-    preds = render_prediction(mv, p, ref1, ref2)
-
-    iwt_dims = [(p.iwt_luma_height, p.iwt_luma_width),
-                (p.iwt_chroma_height, p.iwt_chroma_width),
-                (p.iwt_chroma_height, p.iwt_chroma_width)]
-    qm = np.asarray(p.quant_matrix[:nb], np.int32)
-
-    w = BitWriter()
-    code = parse_code_picture(False, 2, False, False)
-    write_parse_info(w, code)
-    write_picture_header(w, frame_number,
-                         ref_deltas=[ref1_num - frame_number,
-                                     ref2_num - frame_number])
-    w.sync()
-    write_prediction_parameters(w, p)
-    w.sync()
-    bufs = _native.motion_encode(mv, p.x_num_blocks, p.y_num_blocks, 2)
-    for s in range(9):
-        if bufs[s] is None:
-            continue
-        w.write_uint(len(bufs[s]))
-        w.sync()
-        w.write_bytes(bytes(bufs[s]))
-    w.sync()
-    w.write_bit(0)  # zero residual
-    w.write_uint(int(p.wavelet_filter_index))
-    w.write_uint(p.transform_depth)
-    is_default_cb = all(p.horiz_codeblocks[i] == 1 and p.vert_codeblocks[i] == 1
-                        for i in range(p.transform_depth + 1)) \
-        and p.codeblock_mode_index == 0
-    if is_default_cb:
-        w.write_bit(0)
-    else:
-        w.write_bit(1)
-        for i in range(p.transform_depth + 1):
-            w.write_uint(p.horiz_codeblocks[i])
-            w.write_uint(p.vert_codeblocks[i])
-        w.write_uint(p.codeblock_mode_index)
-    w.sync()
-
-    tfn, rcfn, qrfn, shapes3 = _get_p_pipeline(p, want_recon=False)
-    flats = tfn(jnp.asarray(planes_u8[0]), jnp.asarray(planes_u8[1]),
-                jnp.asarray(planes_u8[2]), *preds)
-    if target_bits is not None:
-        bits = np.asarray(rcfn(*flats)).astype(np.float64) * rc_correction
-        fits = np.nonzero(bits <= target_bits)[0]
-        base_qi = int(fits[0]) if len(fits) else 60
-    qi_bands = np.clip(base_qi - qm, 0, 60).astype(np.int32)
-    host_q = jax.device_get(qrfn(*flats, *preds, jnp.asarray(qi_bands)))
-
-    for comp in range(3):
-        bands = sl.unflatten_host(host_q[comp], shapes3[comp])
-        for index in range(nb):
-            hcb, vcb = _codeblock_counts(p, index)
-            position = subband_position(index)
-            qi = int(qi_bands[index])
-            qdata = bands[index]
-            w.sync()
-            if not np.any(qdata):
-                w.write_uint(0)
-                continue
-            parent_q = bands[index - 3] if position >= 4 else None
-            payload, first_qi = sb.encode_subband_arith(
-                qdata, parent_q, position, hcb, vcb,
-                p.codeblock_mode_index == 1,
-                np.full((vcb, hcb), qi, np.int32))
+                p.codeblock_mode_index == 1, cbqi)
             w.write_uint(len(payload))
             if first_qi == -1:
                 first_qi = qi

@@ -183,19 +183,33 @@ def _median3x3_field(f):
 
 def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                  levels=3, coarse_radius=8, refine_radius=2, n_extra=0,
-                 max_levels_cap=True, candidates=True):
+                 max_levels_cap=True, candidates=True, zero_cand=True,
+                 chroma=None):
     """Build the raw (traceable) ME: (cur_y u8, ref_y u8) -> (dy, dx, sad)
     per block (pel); compose inside larger jitted programs.
 
     Candidate set per block at the final level mirrors the reference's
     list {scan/hierarchy, predicted, zero, global/phasecorr}
     (schroencoder.h:421-440): the hierarchy result competes against the
-    ZERO vector (with the reference's zero bias) and the 3x3-median
+    ZERO vector (with the reference's zero bias, gated by
+    enable_zero/bigblock_estimation via zero_cand) and the 3x3-median
     'predicted' field; n_extra adds injected candidates (phase
     correlation / global motion).  The winner gets a local rescan.
 
-    With n_extra > 0 the function takes a third argument, an (n_extra, 2)
-    int32 array of (dy, dx) full-pel candidates.
+    levels=1 disables the pyramid (enable_hierarchical_estimation off:
+    only the full-resolution exhaustive scan runs, like the reference's
+    non-hierarchical superblock scan path, schromotionest.c:1181).
+
+    chroma: None, or (cbs_y, cbs_x, ch, cw) — the chroma block geometry.
+    When set (enable_chroma_me, schrohierbm.c:37: use_chroma), the final
+    candidate competition adds each candidate's chroma SAD (sampled at
+    mv >> chroma shift) to its luma SAD, so color-dominant motion is
+    scored on all three components (schrometric.c:73-115's chroma
+    metric).  The me fn then takes four extra plane args
+    (cur_u, cur_v, ref_u, ref_v).
+
+    With n_extra > 0 the function takes an (n_extra, 2) int32 array of
+    (dy, dx) full-pel candidates after (cur, ref).
     """
     pad_h = ybsep * y_num_blocks
     pad_w = xbsep * x_num_blocks
@@ -221,7 +235,7 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
         return _patch_refine(cb, P, mvy, mvx, nby, nbx, bs_y, bs_x, rad,
                              margin)
 
-    def me(cur, ref, extra=None):
+    def me(cur, ref, extra=None, chroma_planes=None):
         cur = jnp.pad(cur, ((0, pad_h - H), (0, pad_w - W)), mode="edge")
         ref = jnp.pad(ref, ((0, pad_h - H), (0, pad_w - W)), mode="edge")
 
@@ -305,6 +319,44 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
         bias = ybsep * xbsep // 16
         cand_sads = [sad, sad_at(med), sad_zero]
         cand_bias = [0, bias, bias]
+        if not zero_cand:
+            cand_mvs = cand_mvs[:2]
+            cand_sads = cand_sads[:2]
+            cand_bias = cand_bias[:2]
+        if chroma is not None:
+            cbs_y, cbs_x, ch, cw = chroma
+            cu, cv, ru, rv = chroma_planes
+            cph = cbs_y * nby
+            cpw = cbs_x * nbx
+            vsh = (ybsep // cbs_y).bit_length() - 1
+            hsh = (xbsep // cbs_x).bit_length() - 1
+            cmargin = (margin >> min(vsh, hsh)) + 2
+
+            def cprep(pl_):
+                return jnp.pad(pl_, ((0, cph - ch), (0, cpw - cw)),
+                               mode="edge").astype(jnp.int32)
+
+            cub = _to_blocks(cprep(cu), nby, cbs_y, nbx, cbs_x)
+            cvb = _to_blocks(cprep(cv), nby, cbs_y, nbx, cbs_x)
+            Pu = _pad_ref(cprep(ru), cmargin)
+            Pv = _pad_ref(cprep(rv), cmargin)
+
+            def chroma_sad(field):
+                """Per-block chroma SAD of a candidate MV field (u + v),
+                sampled at the chroma-shifted vector."""
+                my = field[..., 0] >> vsh
+                mx = field[..., 1] >> hsh
+                tot = 0
+                for cb_, P_ in ((cub, Pu), (cvb, Pv)):
+                    pat = _extract_ref_patches(P_, my, mx, nby, nbx,
+                                               cbs_y, cbs_x, 0, cmargin)
+                    v_ = pat[:, :cbs_y, :cbs_x]
+                    tot = tot + jnp.abs(cb_ - v_).sum((1, 2)).reshape(
+                        nby, nbx)
+                return tot
+
+        else:
+            chroma_sad = None
         if n_extra:
             ext = jnp.clip(extra, -ME_BOUND_PEL, ME_BOUND_PEL)
             ext_sads = _block_sads(c0, r0, ybsep, xbsep, ext)
@@ -313,9 +365,16 @@ def make_me_body(H, W, xbsep, ybsep, x_num_blocks, y_num_blocks,
                                                  (nby, nbx, 2)))
                 cand_sads.append(ext_sads[k])
                 cand_bias.append(0)
+        # chroma joins the SELECTION metric only; the returned SAD stays
+        # luma (downstream mode decision compares it against luma-only
+        # DC SADs)
+        cand_sel = (cand_sads if chroma_sad is None else
+                    [s + chroma_sad(f)
+                     for s, f in zip(cand_sads, cand_mvs)])
         all_sads = jnp.stack(cand_sads)
         all_mvs = jnp.stack(cand_mvs)
-        biased = all_sads - jnp.asarray(cand_bias, jnp.int32)[:, None, None]
+        biased = (jnp.stack(cand_sel)
+                  - jnp.asarray(cand_bias, jnp.int32)[:, None, None])
         best = jnp.argmin(biased, axis=0)                # (nby, nbx)
         mv = jnp.take_along_axis(all_mvs, best[None, ..., None], axis=0)[0]
         sad = jnp.take_along_axis(all_sads, best[None], axis=0)[0]

@@ -54,16 +54,18 @@ _STATS_CACHE = {}
 
 
 def stats_tables(band_lists, p: Params, intra: bool):
-    """Exact (61, nb) per-band (bits, sq-error) tables for a transformed
-    frame (schro_encoder_calc_estimates analog; one jitted pass evaluates
-    all 61 quant indices).  Components are summed per band.  For intra,
-    band 0 is estimated on horizontal first differences (the DC-predict
-    histogram analog, schrohistogram.c:360, measure_error_subband i-1)."""
+    """Exact (61, 3*nb) per-(component, band) (bits, sq-error) tables for
+    a transformed frame (schro_encoder_calc_estimates analog, which is
+    also per component: frame->est_entropy[component][band]; one jitted
+    pass evaluates all 61 quant indices).  Columns are component-major
+    (ci*nb + band).  For intra, band 0 is estimated on horizontal first
+    differences (the DC-predict histogram analog, schrohistogram.c:360,
+    measure_error_subband i-1)."""
     nb = subband_count(p.transform_depth)
     flats = []
     bounds = []
     off = 0
-    for bands in band_lists:
+    for ci, bands in enumerate(band_lists):
         for i, b in enumerate(bands):
             arr = jnp.asarray(b)
             if i == 0 and intra:
@@ -71,10 +73,11 @@ def stats_tables(band_lists, p: Params, intra: bool):
                     [arr[:, :1], arr[:, 1:] - arr[:, :-1]], axis=1)
             arr = jnp.ravel(arr)
             flats.append(arr)
-            bounds.append((i, off, off + arr.shape[0]))
+            bounds.append((ci * nb + i, off, off + arr.shape[0]))
             off += arr.shape[0]
     flat = jnp.concatenate(flats).astype(jnp.int32)
-    key = (tuple(bounds), nb, bool(intra))
+    ncol = len(band_lists) * nb
+    key = (tuple(bounds), ncol, bool(intra))
     fn = _STATS_CACHE.get(key)
     if fn is None:
         QF = jnp.asarray(tables.QUANT_FACTOR, jnp.int32)
@@ -88,8 +91,8 @@ def stats_tables(band_lists, p: Params, intra: bool):
                 dq = q.dequantise(qq, QF[base], QO[base])
                 b = _sint_bits(qq).astype(jnp.float32)
                 e = jnp.square((allflat - dq).astype(jnp.float32))
-                bsum = [jnp.float32(0)] * nb
-                esum = [jnp.float32(0)] * nb
+                bsum = [jnp.float32(0)] * ncol
+                esum = [jnp.float32(0)] * ncol
                 for bi, lo, hi in bounds:
                     bsum[bi] = bsum[bi] + b[lo:hi].sum()
                     esum[bi] = esum[bi] + e[lo:hi].sum()
@@ -128,23 +131,6 @@ def pick_base_qi(band_lists, p: Params, target_bits: int,
     if len(fits) == 0:
         return 60
     return int(fits[0])
-
-
-def pick_base_from_stats(bits61, qm, target_bits: float,
-                         correction: float = 1.0) -> int:
-    """Smallest base quant index whose estimated frame bits fit the target.
-
-    bits61: (61, nb) per-band coded-bit estimates indexed by ACTUAL quant
-    index (the fused P-step's stat tables); qm: (nb,) quant-matrix offsets.
-    The per-base frame estimate applies the matrix the same way the coder
-    will (qi = clip(base - qm)), so the pick and the coded stream agree.
-    """
-    bits61 = np.asarray(bits61, np.float64)
-    nb = bits61.shape[1]
-    qis = np.clip(np.arange(61)[:, None] - np.asarray(qm)[None, :], 0, 60)
-    totals = bits61[qis, np.arange(nb)[None, :]].sum(axis=1) * correction
-    fits = np.nonzero(totals <= target_bits)[0]
-    return int(fits[0]) if len(fits) else 60
 
 
 def estimate_bits_at(bits61, qi_bands) -> float:
@@ -211,15 +197,22 @@ class CbrController:
         alloc = must_use + (self.buffer_level - must_use) * y
         return max(1000, int(alloc))
 
-    def update(self, actual_bits: int, estimated_bits: float | None = None):
+    def update(self, actual_bits: int,
+               estimated_bits: float | None = None) -> int:
+        """Returns the PADDING bytes the stream must insert to hold the
+        reservoir at capacity (buffer overrun, schroencoder.c:2601-2611;
+        0 when the level fits)."""
         self.buffer_level += self.bits_per_picture - actual_bits
         if self.buffer_level < 0:
             self.buffer_level = 0.0      # underrun (schroencoder.c:2599)
+        pad = 0
         if self.buffer_level > self.buffer_size:
-            self.buffer_level = float(self.buffer_size)  # ref pads here
+            pad = int(self.buffer_level - self.buffer_size + 7) // 8
+            self.buffer_level -= pad * 8
         if estimated_bits and estimated_bits > 200:
             ratio = actual_bits / estimated_bits
             self.correction = 0.9 * self.correction + 0.1 * ratio
+        return pad
 
 
 class CbrControllerTM5:
@@ -312,12 +305,17 @@ class CbrControllerTM5:
                                  if num_b else min_bits)
 
     def update(self, kind: str, num_bits: float, frame_number: int,
-               field_factor: int = 1) -> None:
+               field_factor: int = 1) -> int:
         """Buffer level + qf update after a picture is coded, in coded
-        order (schro_encoder_cbr_update, schroencoder.c:356-497)."""
+        order (schro_encoder_cbr_update, schroencoder.c:356-497).
+        Returns the stream PADDING bytes due on reservoir overrun
+        (schroencoder.c:2601-2611)."""
         self.buffer_level += self.bits_per_picture - num_bits
-        self.buffer_level = min(max(self.buffer_level, 0.0),
-                                float(self.buffer_size))
+        self.buffer_level = max(self.buffer_level, 0.0)
+        pad = 0
+        if self.buffer_level > self.buffer_size:
+            pad = int(self.buffer_level - self.buffer_size + 7) // 8
+            self.buffer_level -= pad * 8
 
         occ = self.buffer_level / self.buffer_size
         fnum = frame_number // field_factor
@@ -370,6 +368,7 @@ class CbrControllerTM5:
             if self.subgroup_position <= 0:
                 self.subgroup_position = self.sg_len
                 self.B_complexity_sum = 0.0
+        return pad
 
 
 # ---- per-subband quantiser engines (schroquantiser.c:280-316 dispatch) ----

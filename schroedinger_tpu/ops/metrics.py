@@ -19,43 +19,88 @@ def psnr(a, b, peak: float = 255.0):
     return jnp.where(m == 0, jnp.inf, 10.0 * jnp.log10(peak * peak / m))
 
 
-def _gauss_kernel(sigma: float):
-    import numpy as _np
-    r = max(1, int(3.0 * sigma + 0.5))
-    x = _np.arange(-r, r + 1, dtype=_np.float32)
-    k = _np.exp(-0.5 * (x / sigma) ** 2)
-    return jnp.asarray(k / k.sum())
+def _iir3_coeff(sigma: float):
+    """Young/van-Vliet-style recursive-Gaussian coefficients
+    (generate_coeff, schrofilter.c:666-688)."""
+    import math
+    if sigma >= 2.5:
+        q = 0.98711 * sigma - 0.96330
+    else:
+        q = 3.97156 - 4.41554 * math.sqrt(1 - 0.26891 * sigma)
+    b0 = 1.57825 + 2.44413 * q + 1.4281 * q * q + 0.422205 * q ** 3
+    b1 = 2.44413 * q + 2.85619 * q * q + 1.26661 * q ** 3
+    b2 = -1.4281 * q * q - 1.26661 * q ** 3
+    b3 = 0.422205 * q ** 3
+    return (1.0 - (b1 + b2 + b3) / b0, b1 / b0, b2 / b0, b3 / b0)
 
 
-def _gauss_lowpass(img, sigma: float):
-    """Separable Gaussian lowpass with edge-replicated padding
-    (schro_frame_filter_lowpass2 analog, schrofilter.c)."""
-    k = _gauss_kernel(sigma)
-    r = (k.shape[0] - 1) // 2
-    x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
-    x = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"),
-                 in_axes=1, out_axes=1)(x)
-    x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
-    x = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(x)
+def _iir3_rows(x, coeff, rnd):
+    """One IIR3 pass along axis 1 of (rows, n), batched across rows:
+    outputs rounded per sample (the in-place integer store), filter state
+    kept unrounded (schro_iir3_*_f64, schrofilter.c:566-631)."""
+    B, c1, c2, c3 = coeff
+
+    def step(carry, col):
+        s0, s1, s2 = carry
+        v = B * col + c1 * s0 + c2 * s1 + c3 * s2
+        return (v, s0, s1), rnd(v)
+
+    init = (x[:, 0], x[:, 0], x[:, 0])
+    _, out = jax.lax.scan(step, init, x.T)
+    return out.T
+
+
+def _lowpass2(img, sigma: float, rnd):
+    """schro_frame_filter_lowpass2 (schrofilter.c:635-744): per-row
+    forward+reverse IIR3, then per-column forward+reverse, every write
+    rounded to the frame's integer type (rnd).  The reverse passes run
+    on the forward-filtered data with state seeded from its last sample
+    (the reference filters in place)."""
+    coeff = _iir3_coeff(max(sigma, 1e-3))
+    x = img.astype(jnp.float64)
+    x = _iir3_rows(x, coeff, rnd)                       # rows fwd
+    x = _iir3_rows(x[:, ::-1], coeff, rnd)[:, ::-1]     # rows rev
+    x = _iir3_rows(x.T, coeff, rnd).T                   # cols down
+    x = _iir3_rows(x.T[:, ::-1], coeff, rnd)[:, ::-1].T  # cols up
     return x
+
+
+def _wrap_s16(v):
+    return jnp.mod(v + 32768.0, 65536.0) - 32768.0
 
 
 def ssim_frame(a, b, c1: float = (0.01 * 255) ** 2,
                c2: float = (0.03 * 255) ** 2):
-    """Per-pixel mean SSIM over the luma plane via the reference's
-    multiply/lowpass formulation (schro_frame_ssim, schrossim.c:65-123):
-    mu = Gaussian lowpass (sigma = width/256 * 1.5), variances/covariance
-    = lowpass of the hipass products, SSIM averaged over every pixel."""
-    x = a.astype(jnp.float32)
-    y = b.astype(jnp.float32)
-    sigma = (x.shape[1] / 256.0) * 1.5  # SSIM_SIGMA, schrossim.c:61
-    mx = _gauss_lowpass(x, sigma)
-    my = _gauss_lowpass(y, sigma)
-    hx = x - mx
-    hy = y - my
-    vx = _gauss_lowpass(hx * hx, sigma)
-    vy = _gauss_lowpass(hy * hy, sigma)
-    cov = _gauss_lowpass(hx * hy, sigma)
+    """Per-pixel mean SSIM over the luma plane, the reference's
+    multiply/lowpass formulation reproduced operation for operation
+    (schro_frame_ssim, schrossim.c:65-149): mu = recursive-Gaussian
+    lowpass (IIR3, sigma = width/256 * 1.5) of the u8 planes, hipass =
+    plane - mu as s16, variances/covariance = IIR3 lowpass of the s16
+    hipass products (with the reference's s16 wraparound on overflow),
+    SSIM averaged over every pixel."""
+
+    def rnd_u8(v):
+        return jnp.clip(jnp.round(v), 0.0, 255.0)
+
+    def rnd_s16(v):
+        return jnp.round(v)
+
+    x = a.astype(jnp.float64)
+    y = b.astype(jnp.float64)
+    sigma = (x.shape[1] / 256.0) * 1.5  # SSIM_SIGMA, schrossim.c:62
+    mx = _lowpass2(x, sigma, rnd_u8)
+    my = _lowpass2(y, sigma, rnd_u8)
+    # the reference's dup16 converts u8->s16 through
+    # orc_offsetconvert_s16_u8 (subtracts 128: schrovirtframe.c:1741-1750,
+    # schroorc.orc), so its "hipass" planes carry a -128 offset into the
+    # variance/covariance terms.  Reproduced verbatim for parity — the
+    # resulting metric is dominated by the mu term, exactly like the
+    # reference's.
+    hx = x - 128.0 - mx
+    hy = y - 128.0 - my
+    vx = _lowpass2(_wrap_s16(hx * hx), sigma, rnd_s16)
+    vy = _lowpass2(_wrap_s16(hy * hy), sigma, rnd_s16)
+    cov = _lowpass2(_wrap_s16(hx * hy), sigma, rnd_s16)
     s = ((2 * mx * my + c1) * (2 * cov + c2)) / (
         (mx * mx + my * my + c1) * (vx + vy + c2))
     return jnp.mean(s)

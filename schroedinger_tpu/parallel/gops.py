@@ -83,8 +83,6 @@ def _validate_shard_encoder(enc) -> None:
         problems.append("bitrate/CBR")
     if getattr(enc, "qengine", None) is not None:
         problems.append("quantiser_engine")
-    if getattr(enc, "b_frames", 0):
-        problems.append("b_frames")
     if getattr(enc, "gop_structure", "backref") != "backref":
         problems.append(f"gop_structure={enc.gop_structure}")
     if problems:

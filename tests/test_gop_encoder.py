@@ -121,7 +121,8 @@ def test_bframes_roundtrip():
     vf = VideoFormat(width=W, height=H, clean_width=W, clean_height=H,
                      chroma_format=ChromaFormat.C420,
                      frame_rate_numerator=25, frame_rate_denominator=1)
-    enc = GopEncoder(vf, base_qi_intra=12, base_qi_inter=16, b_frames=2,
+    enc = GopEncoder(vf, base_qi_intra=12, base_qi_inter=16,
+                     gop_structure="biref", subgroup_length=3,
                      enable_scene_change=False)
     stream = enc.encode_stream(frames)
     # stream must contain 2-ref pictures

@@ -20,17 +20,19 @@ def test_cbr_hits_bitrate():
     enc = GopEncoder(vf, gop_length=8, bitrate=bitrate, fps=fps)
     stream = enc.encode_stream(frames)
 
-    # TM5 rate control undershoots on easy content exactly like the
-    # reference (oracle achieves ~174 kbps with these settings); require
-    # staying under budget and within 3x of the oracle's spend
+    # true CBR holds the stream AT the bitrate: on easy content the TM5
+    # quality undershoots and the reservoir-overrun PADDING units make up
+    # the difference, exactly like the reference's CBR mode (oracle
+    # rate_control=1 spends ~1.56 Mbps here; schroencoder.c:2601-2611)
     achieved = len(stream) * 8 * fps / len(frames)
     ref_stream = so.encode(frames, W, H, settings={
-        "rate_control": 6, "bitrate": bitrate, "au_distance": 8,
+        "rate_control": 1, "bitrate": bitrate, "au_distance": 8,
         "gop_structure": 2})
     ref_achieved = len(ref_stream) * 8 * fps / len(frames)
     assert achieved < 1.2 * bitrate, achieved
-    assert achieved < 3 * ref_achieved, (achieved, ref_achieved)
-    assert achieved > ref_achieved / 3, (achieved, ref_achieved)
+    assert achieved > 0.7 * bitrate, achieved
+    assert abs(achieved - ref_achieved) < 0.35 * bitrate, (achieved,
+                                                           ref_achieved)
 
     # conformance: reference decoder agrees with ours
     mine = StreamDecoder().decode_stream(stream)
