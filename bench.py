@@ -84,9 +84,12 @@ def bench_ours(frames, bitrate=BITRATE, warmup=True, tag="ours"):
 def bench_oracle(frames):
     from oracle import schro_oracle as so
     t0 = time.perf_counter()
+    # rate_control 1 = the reference's actual CBR mode (TM5 + reservoir
+    # padding), the same mode ours runs — both sides hold the SAME spend,
+    # so the PSNR comparison is at equal rate by construction
     out = so.encode(frames, W, H,
                     settings={"gop_structure": 2, "queue_depth": 1,
-                              "rate_control": 6, "bitrate": BITRATE,
+                              "rate_control": 1, "bitrate": BITRATE,
                               "au_distance": GOP})
     dt = time.perf_counter() - t0
     log(f"oracle long-GOP CBR (1 core): {len(frames)/dt:.3f} fps, "

@@ -70,12 +70,21 @@ def merge_shard_streams(streams: Sequence[bytes]) -> bytes:
     return bytes(out)
 
 
-def _validate_shard_encoder(enc) -> None:
-    """GOP sharding is byte-exact only for the stateless-across-GOPs
-    configuration: fixed-qi IPPP without content-adaptive state.  Scene
-    change detection, CBR/quantiser engines, B buffering, and the biref
-    engine all carry cross-GOP state that would silently diverge from the
-    serial encode, so they are rejected up front."""
+def _validate_shard_encoder(enc, exact: bool = True) -> None:
+    """exact=True: GOP sharding must be byte-exact vs the serial encode,
+    which only the stateless fixed-qi IPPP configuration guarantees —
+    scene change detection, CBR/quantiser engines, and the biref engine
+    all carry cross-GOP state, so they are rejected up front.
+
+    exact=False: any configuration is allowed — each chunk encodes as an
+    independent self-contained sequence (fresh TM5 reservoir / engine
+    state / scene-change history per chunk, the reference's quant_slot
+    chain restarting at each chunk's first AU).  The merged stream is a
+    valid CBR stream whose rate is held per chunk rather than across the
+    whole sequence; it differs byte-wise from the serial encode exactly
+    where that boundary state differs."""
+    if not exact:
+        return
     problems = []
     if getattr(enc, "enable_scene_change", False):
         problems.append("enable_scene_change")
@@ -87,8 +96,9 @@ def _validate_shard_encoder(enc) -> None:
         problems.append(f"gop_structure={enc.gop_structure}")
     if problems:
         raise ValueError(
-            "GOP sharding requires a stateless fixed-qi IPPP encoder; "
-            "unsupported options: " + ", ".join(problems))
+            "Byte-exact GOP sharding requires a stateless fixed-qi IPPP "
+            "encoder; unsupported options: " + ", ".join(problems)
+            + " (pass exact=False for per-chunk-reservoir sharding)")
 
 
 def _seed_shard_state(enc, start_frame: int) -> None:
@@ -114,7 +124,8 @@ def _seed_shard_state(enc, start_frame: int) -> None:
 
 def encode_gops_sharded(frames: Sequence, make_encoder: Callable[[], object],
                         n_shards: int, gop_length: int = None,
-                        sequential: bool = False) -> bytes:
+                        sequential: bool = False,
+                        exact: bool = True) -> bytes:
     """Encode `frames` as n_shards independent GOP-aligned chunks.
 
     make_encoder() must return a fresh GopEncoder; its gop_length and
@@ -122,9 +133,11 @@ def encode_gops_sharded(frames: Sequence, make_encoder: Callable[[], object],
     made globally monotone by offsetting each shard's start number.
     Single-host form: shards run on a thread pool (sequential=True for
     deterministic debugging, the schroasync-none.c analog).
+    exact=False allows CBR/engines/biref/scene-change configurations
+    with per-chunk state (see _validate_shard_encoder).
     """
     proto = make_encoder()
-    _validate_shard_encoder(proto)
+    _validate_shard_encoder(proto, exact)
     gop_length = gop_length or proto.gop_length
     ranges = chunk_ranges(len(frames), gop_length, n_shards)
 
@@ -145,23 +158,25 @@ def encode_gops_sharded(frames: Sequence, make_encoder: Callable[[], object],
 def encode_gops_multihost(frames: Sequence,
                           make_encoder: Callable[[], object],
                           gop_length: int = None,
-                          shards_per_host: int = 1) -> bytes:
+                          shards_per_host: int = 1,
+                          exact: bool = True) -> bytes:
     """Multi-host form: each jax.distributed process encodes its chunk
     range locally (shards_per_host threads), then the payload bytes are
     gathered to all hosts over DCN and merged.  Degenerates to
-    encode_gops_sharded in a single-process run."""
+    encode_gops_sharded in a single-process run.  exact=False allows the
+    flagship CBR tworef configuration with per-chunk reservoirs."""
     import jax
 
     n_proc = jax.process_count()
     if n_proc == 1:
         return encode_gops_sharded(frames, make_encoder,
                                    n_shards=shards_per_host,
-                                   gop_length=gop_length)
+                                   gop_length=gop_length, exact=exact)
 
     from jax.experimental import multihost_utils
 
     proto = make_encoder()
-    _validate_shard_encoder(proto)
+    _validate_shard_encoder(proto, exact)
     gop_length = gop_length or proto.gop_length
     ranges = chunk_ranges(len(frames), gop_length, n_proc)
     pidx = jax.process_index()
