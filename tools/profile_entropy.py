@@ -57,8 +57,7 @@ def run(skip_entropy: bool):
         # a fixed-size dummy unit (isolates the C++ coder's wall share)
         real = ei._write_p_unit
 
-        def stub(p, frame_number, refs, is_ref, retired, mv, host_q,
-                 shapes3, qi_bands):
+        def stub(*_a, **_kw):
             return b"BBCD" + bytes([0x0D]) + b"\x00" * 8 + b"\x00" * 2000
         ei._write_p_unit = stub
     vf = VideoFormat(width=W, height=H, clean_width=W, clean_height=H,
