@@ -58,6 +58,7 @@ class GopEncoder:
                  buffer_size: int = 0,
                  buffer_level: int = 0,
                  downsample_levels: int = 5,
+                 enable_noarith: bool = False,
                  max_refs: int = 3,
                  estimation: tuple = (),
                  magic: Optional[dict] = None):
@@ -119,6 +120,12 @@ class GopEncoder:
         self.filtering = filtering
         self.filter_value = filter_value
         self.downsample_levels = downsample_levels
+        # VLC (no-arith) residual + MV coding for every picture type: the
+        # reference's encoder core supports this for inter pictures too
+        # (schroencoder.c:4073+, is_noarith branches) even though its
+        # settings dispatch only ever selects noarith for intra-only
+        # profiles — exposed here directly
+        self.enable_noarith = enable_noarith
         # decoder-visible reference-buffer budget (schroengine.c:127-245
         # manages up to 4; the max_refs setting caps it)
         self.max_refs = max(1, int(max_refs))
@@ -222,6 +229,11 @@ class GopEncoder:
         # schroengine.c:517-521: multiquant picks the per-codeblock
         # quant-delta codeblock mode
         p.codeblock_mode_index = 1 if self.enable_multiquant else 0
+        if self.enable_noarith:
+            p.is_noarith = True
+            # quant-offset mode is ambiguous in noarith streams (same
+            # compat choice as the vc2_simple intra path)
+            p.codeblock_mode_index = 0
         return p
 
     def _prefilter(self, planes):

@@ -1260,7 +1260,7 @@ def _write_p_unit(p: Params, frame_number: int, refs, is_ref: bool,
         qiv = np.tile(qiv, 3)
     num_refs = len(refs)
     w = BitWriter()
-    code = parse_code_picture(is_ref, num_refs, False, False)
+    code = parse_code_picture(is_ref, num_refs, False, p.is_noarith)
     write_parse_info(w, code)
     retired_delta = None
     if is_ref:
@@ -1272,7 +1272,7 @@ def _write_p_unit(p: Params, frame_number: int, refs, is_ref: bool,
     write_prediction_parameters(w, p)
     w.sync()
     bufs = _native.motion_encode(mv, p.x_num_blocks, p.y_num_blocks,
-                                 num_refs)
+                                 num_refs, is_noarith=p.is_noarith)
     for s in range(9):
         if bufs[s] is None:
             continue
@@ -1310,13 +1310,19 @@ def _write_p_unit(p: Params, frame_number: int, refs, is_ref: bool,
                 continue
             # parent context is a zero-test, so quantised data is
             # equivalent to the dequantised values the spec describes
-            parent_q = bands[index - 3] if position >= 4 else None
-            cbqi = (qi_cb or {}).get((comp, index))
-            if cbqi is None:
-                cbqi = np.full((vcb, hcb), qi, np.int32)
-            payload, first_qi = sb.encode_subband_arith(
-                qdata, parent_q, position, hcb, vcb,
-                p.codeblock_mode_index == 1, cbqi)
+            if p.is_noarith:
+                payload = _native.encode_subband_noarith(
+                    qdata, position, hcb, vcb,
+                    p.codeblock_mode_index == 1)
+                first_qi = qi
+            else:
+                parent_q = bands[index - 3] if position >= 4 else None
+                cbqi = (qi_cb or {}).get((comp, index))
+                if cbqi is None:
+                    cbqi = np.full((vcb, hcb), qi, np.int32)
+                payload, first_qi = sb.encode_subband_arith(
+                    qdata, parent_q, position, hcb, vcb,
+                    p.codeblock_mode_index == 1, cbqi)
             w.write_uint(len(payload))
             if first_qi == -1:
                 first_qi = qi

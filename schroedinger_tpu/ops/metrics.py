@@ -37,17 +37,22 @@ def _iir3_coeff(sigma: float):
 def _iir3_rows(x, coeff, rnd):
     """One IIR3 pass along axis 1 of (rows, n), batched across rows:
     outputs rounded per sample (the in-place integer store), filter state
-    kept unrounded (schro_iir3_*_f64, schrofilter.c:566-631)."""
+    kept unrounded (schro_iir3_*_f64, schrofilter.c:566-631).  Host
+    numpy in float64 — the reference runs the recursion in double, and
+    float32 drifts across rounding boundaries."""
     B, c1, c2, c3 = coeff
-
-    def step(carry, col):
-        s0, s1, s2 = carry
-        v = B * col + c1 * s0 + c2 * s1 + c3 * s2
-        return (v, s0, s1), rnd(v)
-
-    init = (x[:, 0], x[:, 0], x[:, 0])
-    _, out = jax.lax.scan(step, init, x.T)
-    return out.T
+    x = np.asarray(x, np.float64)
+    out = np.empty_like(x)
+    s0 = x[:, 0].copy()
+    s1 = x[:, 0].copy()
+    s2 = x[:, 0].copy()
+    for i in range(x.shape[1]):
+        v = B * x[:, i] + c1 * s0 + c2 * s1 + c3 * s2
+        s2 = s1
+        s1 = s0
+        s0 = v
+        out[:, i] = rnd(v)
+    return out
 
 
 def _lowpass2(img, sigma: float, rnd):
@@ -57,7 +62,7 @@ def _lowpass2(img, sigma: float, rnd):
     on the forward-filtered data with state seeded from its last sample
     (the reference filters in place)."""
     coeff = _iir3_coeff(max(sigma, 1e-3))
-    x = img.astype(jnp.float64)
+    x = np.asarray(img, np.float64)
     x = _iir3_rows(x, coeff, rnd)                       # rows fwd
     x = _iir3_rows(x[:, ::-1], coeff, rnd)[:, ::-1]     # rows rev
     x = _iir3_rows(x.T, coeff, rnd).T                   # cols down
@@ -65,8 +70,8 @@ def _lowpass2(img, sigma: float, rnd):
     return x
 
 
-def _wrap_s16(v):
-    return jnp.mod(v + 32768.0, 65536.0) - 32768.0
+def _clamp_s16(v):
+    return np.clip(v, -32768.0, 32767.0)
 
 
 def ssim_frame(a, b, c1: float = (0.01 * 255) ** 2,
@@ -80,13 +85,12 @@ def ssim_frame(a, b, c1: float = (0.01 * 255) ** 2,
     SSIM averaged over every pixel."""
 
     def rnd_u8(v):
-        return jnp.clip(jnp.round(v), 0.0, 255.0)
+        return np.clip(np.rint(v), 0.0, 255.0)
 
-    def rnd_s16(v):
-        return jnp.round(v)
+    rnd_s16 = np.rint
 
-    x = a.astype(jnp.float64)
-    y = b.astype(jnp.float64)
+    x = np.asarray(a, np.float64)
+    y = np.asarray(b, np.float64)
     sigma = (x.shape[1] / 256.0) * 1.5  # SSIM_SIGMA, schrossim.c:62
     mx = _lowpass2(x, sigma, rnd_u8)
     my = _lowpass2(y, sigma, rnd_u8)
@@ -95,15 +99,15 @@ def ssim_frame(a, b, c1: float = (0.01 * 255) ** 2,
     # schroorc.orc), so its "hipass" planes carry a -128 offset into the
     # variance/covariance terms.  Reproduced verbatim for parity — the
     # resulting metric is dominated by the mu term, exactly like the
-    # reference's.
+    # reference's.  schro_frame_multiply_s16 CLAMPs products to s16.
     hx = x - 128.0 - mx
     hy = y - 128.0 - my
-    vx = _lowpass2(_wrap_s16(hx * hx), sigma, rnd_s16)
-    vy = _lowpass2(_wrap_s16(hy * hy), sigma, rnd_s16)
-    cov = _lowpass2(_wrap_s16(hx * hy), sigma, rnd_s16)
+    vx = _lowpass2(_clamp_s16(hx * hx), sigma, rnd_s16)
+    vy = _lowpass2(_clamp_s16(hy * hy), sigma, rnd_s16)
+    cov = _lowpass2(_clamp_s16(hx * hy), sigma, rnd_s16)
     s = ((2 * mx * my + c1) * (2 * cov + c2)) / (
         (mx * mx + my * my + c1) * (vx + vy + c2))
-    return jnp.mean(s)
+    return float(np.mean(s))
 
 
 def ssim(a, b, c1: float = (0.01 * 255) ** 2, c2: float = (0.03 * 255) ** 2):

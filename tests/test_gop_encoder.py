@@ -162,3 +162,28 @@ def test_pipelined_encode_stream_matches_serial():
 
     ref = so.decode(bytes(piped), W, H)
     assert len(ref) == len(frames)
+
+
+def test_inter_noarith_roundtrip():
+    """VLC (no-arith) residual + MV coding for INTER pictures: the
+    reference core supports it for every picture type
+    (schroencoder.c:4073+); its settings never select it for long GOPs,
+    so this is driven directly.  Both decoders must agree bit-exactly."""
+    frames = make_frames(5)
+    vf = VideoFormat(width=W, height=H, clean_width=W, clean_height=H,
+                     chroma_format=ChromaFormat.C420,
+                     frame_rate_numerator=25, frame_rate_denominator=1)
+    enc = GopEncoder(vf, base_qi_intra=12, base_qi_inter=16,
+                     gop_length=8, enable_noarith=True,
+                     enable_scene_change=False)
+    stream = enc.encode_stream(frames)
+    from schroedinger_tpu import bitstream as bs2
+    codes = [c for c, _ in bs2.split_units(stream) if bs2.is_picture(c)]
+    assert any((c & 0x40) and (c & 3) for c in codes), \
+        "no noarith inter picture in stream"
+    mine = StreamDecoder().decode_stream(stream)
+    ref = so.decode(stream, W, H)
+    assert len(mine) == len(frames)
+    for g3, r3 in zip(mine, ref):
+        for g, r in zip(g3, r3):
+            np.testing.assert_array_equal(g, r)

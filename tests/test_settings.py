@@ -251,3 +251,59 @@ def test_multiquant_picks_per_codeblock_quants():
     for g3, r3 in zip(ours, ref):
         for g, r in zip(g3, r3):
             np.testing.assert_array_equal(g, r)
+
+
+def test_prefilter_gaussian_matches_oracle_lowpass2():
+    """filtering=gaussian must be the reference's recursive IIR3 Gaussian
+    (schro_frame_filter_lowpass2) bit-for-bit on the luma plane."""
+    import ctypes as C
+
+    from schroedinger_tpu.ops.filters import apply_prefilter
+
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 255, (H, W)).astype(np.uint8)
+    u = rng.integers(0, 255, (H // 2, W // 2)).astype(np.uint8)
+    v = rng.integers(0, 255, (H // 2, W // 2)).astype(np.uint8)
+    sigma = 5.0
+    ours = apply_prefilter((y, u, v), "gaussian", sigma)
+
+    L = so.lib()
+    L.schro_frame_filter_lowpass2.argtypes = [C.POINTER(so.SchroFrame),
+                                              C.c_double]
+    f = L.schro_frame_new_and_alloc(None, so.FRAME_U8_420, W, H)
+    so._fill_frame(f, y, u, v)
+    L.schro_frame_filter_lowpass2(f, C.c_double(sigma))
+    ref = so._read_frame(f)
+    L.schro_frame_unref(f)
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_prefilter_lowpass_and_adaptive():
+    """lowpass smooths luma only; adaptive_gaussian engages on noisy
+    content (sigma from the wavelet histogram slope) and not on clean."""
+    from schroedinger_tpu.ops.filters import (adaptive_lowpass_sigma,
+                                              apply_prefilter)
+
+    rng = np.random.default_rng(8)
+    yy, xx = np.mgrid[0:H, 0:W]
+    clean = (128 + 60 * np.sin(xx / 11.0) * np.cos(yy / 13.0)
+             ).clip(0, 255).astype(np.uint8)
+    noisy = np.clip(clean.astype(np.int32)
+                    + rng.normal(0, 24, (H, W)).astype(np.int32),
+                    0, 255).astype(np.uint8)
+    u = np.full((H // 2, W // 2), 128, np.uint8)
+
+    out = apply_prefilter((noisy, u, u), "lowpass", 40.0)
+    assert not np.array_equal(np.asarray(out[0]), noisy)   # luma smoothed
+    np.testing.assert_array_equal(np.asarray(out[1]), u)   # chroma copied
+    # smoothing reduced high-frequency energy
+    assert np.abs(np.diff(np.asarray(out[0]).astype(int), axis=1)).sum() \
+        < np.abs(np.diff(noisy.astype(int), axis=1)).sum()
+
+    s_noisy = adaptive_lowpass_sigma(noisy)
+    s_clean = adaptive_lowpass_sigma(clean)
+    assert s_noisy > s_clean, (s_noisy, s_clean)
+    filt = apply_prefilter((noisy, u, u), "adaptive_gaussian", 0.0)
+    if s_noisy > 1.0:
+        assert not np.array_equal(np.asarray(filt[0]), noisy)
