@@ -132,12 +132,17 @@ def read_block_data_buffers(r: BitReader, payload: bytes, num_refs: int):
     return bufs
 
 
-def decode_residual(payload_reader: BitReader, payload: bytes, p: Params):
-    """Decode transform data -> list of 3 residual planes (s16 iwt-sized)."""
+def decode_residual_bands(payload_reader: BitReader, payload: bytes,
+                          p: Params):
+    """Host entropy decode of the transform data -> 3 lists of np subband
+    arrays (DC-predicted for intra).  This is the CPU half of residual
+    decoding; the inverse wavelet runs on device separately so a pipelined
+    caller can overlap them across pictures (schrodecoder.c:1556-1568's
+    CPU-entropy / GPU-render exec-domain split)."""
     depth = p.transform_depth
     nb = subband_count(depth)
     r = payload_reader
-    planes = []
+    comps = []
     for comp in range(3):
         shapes = di._band_shapes(p, comp)
         bands = [None] * nb
@@ -167,6 +172,15 @@ def decode_residual(payload_reader: BitReader, payload: bytes, p: Params):
                     p.codeblock_mode_index == 1, is_intra=(p.num_refs == 0))
         if p.num_refs == 0:
             bands[0] = di.dc_predict_integrate_np(bands[0])
+        comps.append(bands)
+    return comps
+
+
+def decode_residual(payload_reader: BitReader, payload: bytes, p: Params):
+    """Decode transform data -> list of 3 residual planes (s16 iwt-sized)."""
+    depth = p.transform_depth
+    planes = []
+    for bands in decode_residual_bands(payload_reader, payload, p):
         pyr = sl.arrays_to_pyramid(
             [jnp.asarray(np.asarray(b, dtype=np.int16)) for b in bands], depth)
         planes.append(_inverse_jit(pyr, p.wavelet_filter_index))
@@ -211,7 +225,11 @@ class StreamDecoder:
                                 (pic_sizes[k][1], pic_sizes[k][0])))
             for k in range(3))
 
-    def decode_picture_unit(self, code: int, payload: bytes):
+    def _parse_picture(self, code: int, payload: bytes):
+        """Parse picture header + prediction/transform parameters + MV
+        entropy decode (the host-serial front half of a picture).  Returns
+        (r, p, picture_number, ref_nums, retired, is_ref, zero_residual,
+        mv) with the BitReader positioned at the residual data."""
         r = BitReader(payload)
         picture_number = r.read_bits(32)
         num_refs = bs.num_refs(code)
@@ -272,6 +290,12 @@ class StreamDecoder:
                 else:
                     p.set_default_quant_matrix()
             r.sync()
+        return (r, p, picture_number, ref_nums, retired, is_ref,
+                zero_residual, mv)
+
+    def decode_picture_unit(self, code: int, payload: bytes):
+        (r, p, picture_number, ref_nums, retired, is_ref,
+         zero_residual, mv) = self._parse_picture(code, payload)
 
         if p.is_lowdelay:
             planes = lod.decode_picture(payload[r.bits_read // 8:], p)

@@ -175,6 +175,12 @@ class GopEncoder:
         if (self.qengine is not None
                 and getattr(self.qengine, "band_scales", None) is None):
             self.qengine.band_scales = self._band_scales3(False)
+        # per-(component, band) x {intra, inter} arith-vs-estimate bit
+        # ratio tables (schroencoder.c:2548-2590) — scale the per-band
+        # bit estimates inside every RD pick so the spend balances
+        # against what the arith coder ACTUALLY costs per band
+        from schroedinger_tpu.encoder.ratecontrol import ArithCorrection
+        self.acorr = ArithCorrection(3 * subband_count(self.depth))
 
     def _params(self, num_refs: int) -> Params:
         p = Params(video_format=self.vf, num_refs=num_refs,
@@ -439,19 +445,25 @@ class GopEncoder:
         constant_lambda) — zero stat lag, pipeline stays full — or a host
         pick (constant_error needs a bisection against lagged tables)."""
         nb = subband_count(p.transform_depth)
+        # the on-device RD argmin computes bits + lam*err; dividing the
+        # per-band lambda by the arith-correction ratio c gives the same
+        # argmin as the reference's corrected cost c*bits + lam*err
+        # (schroquantiser.c:706-725 scales est_entropy by the ratios
+        # before the pick)
+        corr = np.maximum(self.acorr.inter, 1e-3)
         if self.qengine is not None:
             if self.qengine.mode == "constant_lambda":
                 scales = (self.qengine.band_scales
                           if self.qengine.band_scales is not None
                           else np.ones(3 * nb))
-                return {"lam_bands": self.qengine.lam * scales,
+                return {"lam_bands": self.qengine.lam * scales / corr,
                         "me_lam": self._me_lam()}
             return {"qi_bands_override": self.qengine.pick(),
                     "want_stats": True}
         if self.rc is not None:
             if hasattr(self.rc, "frame_lambda"):   # TM5 (enable_rdo_cbr)
                 return {"lam_bands": (self.rc.frame_lambda(kind)
-                                      * self._band_scales3(False)),
+                                      * self._band_scales3(False) / corr),
                         "me_lam": self._me_lam()}
             # allocation engine: host pick against lagged stat tables
             stats = (self._last_stats or self._stats_by_kind.get(kind)
@@ -471,7 +483,7 @@ class GopEncoder:
                                     self.rc.frame_target(kind=kind,
                                                          extra_weight=extra),
                                     band_scales=self._band_scales3(False),
-                                    correction=self.rc.correction)
+                                    correction=corr)
             return {"qi_bands_override": qi, "want_stats": True}
         return {}
 
@@ -486,6 +498,13 @@ class GopEncoder:
         else:
             pad = self.rc.update(bits, est)
         return bs.make_padding_unit(pad) if pad else b""
+
+    def _acorr_update(self, pending) -> None:
+        """EMA the inter arith-correction tables from a finished inter
+        picture's actual vs estimated per-band bits."""
+        est = pending.get("band_bits_est")
+        if est is not None:
+            self.acorr.update(False, pending["band_bits_actual"], est)
 
     def _me_lam(self) -> float:
         """Mode-decision lambda (frame_me_lambda analog): tracks the
@@ -703,6 +722,7 @@ class GopEncoder:
             self.qengine.update(stats)
         if stats is not None:
             self._stats_by_kind[kind] = stats
+        self._acorr_update(pending)
         self._last_badblock = pending.get("badblock_ratio", 0.0)
         if pending.get("qi_bands") is not None and kind != "B":
             nbq = pending["layout"]["nb"]
@@ -747,6 +767,7 @@ class GopEncoder:
             self.qengine.update(stats)
         if stats is not None:
             self._last_stats = stats
+        self._acorr_update(pending)
         self._last_badblock = pending.get("badblock_ratio", 0.0)
         if pending.get("qi_bands") is not None:
             nbq = pending["layout"]["nb"]
@@ -799,6 +820,7 @@ class GopEncoder:
             qm = np.asarray(p.quant_matrix[:nb], np.int32)
             qi_bands = np.tile(np.clip(self.base_qi_intra - qm, 0, 60), 3)
             intra_lambda = None
+            intra_est_bands = None
             if (self.qengine is not None
                     and self.qengine.mode == "constant_lambda"):
                 # rdo_lambda intra: frame lambda x magic_I_lambda_scale
@@ -822,13 +844,18 @@ class GopEncoder:
                                        p.wavelet_filter_index)
                     band_lists.append(sl.subband_arrays(pyr, p.transform_depth))
                 stats = stats_tables(band_lists, p, intra=True)
+                # intra arith-correction: scale the per-band bit
+                # estimates by the measured intra coder ratios before
+                # the RD pick (schroquantiser.c:704-725)
+                corr_i = np.maximum(self.acorr.intra, 1e-3)
+                bits_c = np.asarray(stats[0], np.float64) * corr_i
                 if intra_lambda is not None:
                     qi_bands = qi_from_lambda(
-                        stats[0], stats[1], intra_lambda,
+                        bits_c, stats[1], intra_lambda,
                         band_scales=self._band_scales3(True))
                 elif hasattr(self.rc, "frame_lambda"):
                     qi_bands = qi_from_lambda(
-                        stats[0], stats[1], self.rc.frame_lambda("I"),
+                        bits_c, stats[1], self.rc.frame_lambda("I"),
                         band_scales=self._band_scales3(True))
                 else:
                     from schroedinger_tpu.encoder.ratecontrol import \
@@ -836,18 +863,25 @@ class GopEncoder:
                     qi_bands = pick_bands_rdo(
                         stats, self.rc.frame_target(True),
                         band_scales=self._band_scales3(True),
-                        correction=self.rc.correction)
+                        correction=corr_i)
+                intra_est_bands = np.asarray(stats[0], np.float64)[
+                    np.clip(np.asarray(qi_bands), 0, 60),
+                    np.arange(3 * nb)]
             qis = {}
             for comp in range(3):
                 for i in range(nb):
                     hcb, vcb = ei_inter._codeblock_counts(p, i)
                     qis[(comp, i)] = np.full(
                         (vcb, hcb), int(qi_bands[comp * nb + i]), np.int32)
+            bb_out = []
             unit, recon = ei_intra.encode_picture(planes, p, num,
                                                   quant_indices=qis,
                                                   is_ref=True,
                                                   retired=retired,
-                                                  return_recon=True)
+                                                  return_recon=True,
+                                                  band_bits_out=bb_out)
+            if intra_est_bands is not None and bb_out:
+                self.acorr.update(True, bb_out[0], intra_est_bands)
             up = None
             pad_unit = b""
             if self.rc:
@@ -855,7 +889,7 @@ class GopEncoder:
         else:
             p = self._params(1)
             (unit, recon, used_qi, stats, up,
-             dc_ratio) = ei_inter.encode_inter_picture(
+             dc_ratio, ipend) = ei_inter.encode_inter_picture(
                 planes, p, num, self.last_ref, self.ref_frames[self.last_ref],
                 base_qi=self.base_qi_inter, is_ref=True,
                 retired=retired,
@@ -877,6 +911,7 @@ class GopEncoder:
                 self.qengine.update(stats)
             if stats is not None:
                 self._last_stats = stats
+            self._acorr_update(ipend)
             pad_unit = b""
             if self.rc:
                 pad_unit = self._rc_update("P", len(unit) * 8, num)

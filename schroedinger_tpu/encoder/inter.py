@@ -1202,9 +1202,24 @@ def finish_inter_picture(pending: dict, frame_number: int, ref1_num: int,
              pending["dc_ratio"],
              float(np.mean(np.hypot(mv["dx1"], mv["dy1"]))))
     with timers.span("p_entropy"):
-        unit = _write_p_unit(p, frame_number, refs, is_ref, retired, mv,
-                             host_q, pending["shapes3"], qi_bands,
-                             qi_cb=qi_cb)
+        unit, band_bits = _write_p_unit(p, frame_number, refs, is_ref,
+                                        retired, mv, host_q,
+                                        pending["shapes3"], qi_bands,
+                                        qi_cb=qi_cb)
+    # per-(component, band) actual-vs-estimated coded bits at the picked
+    # quant indices, for the arith-correction EMA tables
+    # (schroencoder.c:2548-2590 analog; rc[0] rows are indexed by the
+    # actual quant index, so row qi column j is the estimate of coding
+    # band j at its picked index)
+    pending["band_bits_actual"] = band_bits
+    if qi_bands is not None and rc[0].any():
+        qiv = np.asarray(qi_bands).ravel()
+        if qiv.size == nb:
+            qiv = np.tile(qiv, 3)
+        pending["band_bits_est"] = rc[0][np.clip(qiv, 0, 60),
+                                         np.arange(3 * nb)]
+    else:
+        pending["band_bits_est"] = None
     return unit, stats
 
 
@@ -1222,7 +1237,7 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
                          estimation: tuple = ()):
     """Encode one P picture (start + finish of the fused step).  Returns
     (parse_unit_bytes, recon_planes, used_base_qi, stats, up_planes,
-    dc_ratio) where stats is (bits61, err61) per-(component, subband)
+    dc_ratio, pending) where stats is (bits61, err61) per-(component, subband)
     estimate tables from the fused path (None on the CBR path), consumed
     by the constant-lambda / constant-error quantiser engines next frame.
     qi_bands_override: explicit per-subband quant indices, (nb,) shared
@@ -1241,7 +1256,7 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
     unit, stats = finish_inter_picture(pend, frame_number, ref1_num,
                                        is_ref=is_ref, retired=retired)
     return unit, pend["recon"], base_qi, stats, pend["up"], \
-        pend.get("dc_ratio", 0.0)
+        pend.get("dc_ratio", 0.0), pend
 
 
 def _write_p_unit(p: Params, frame_number: int, refs, is_ref: bool,
@@ -1253,7 +1268,11 @@ def _write_p_unit(p: Params, frame_number: int, refs, is_ref: bool,
     (3*nb,), or (nb,) shared across components — the stream writes one
     quant index per band per component either way (the bitstream always
     carried this freedom; the reference also picks per-component,
-    schroquantiser.c:855-880)."""
+    schroquantiser.c:855-880).
+
+    Returns (unit_bytes, band_bits) where band_bits is the (3*nb,)
+    per-(component, band) coded payload bits (actual_subband_bits analog,
+    schroencoder.c:2532-2546) feeding the arith-correction EMA."""
     nb = subband_count(p.transform_depth)
     qiv = np.asarray(qi_bands).ravel()
     if qiv.size == nb:
@@ -1297,6 +1316,7 @@ def _write_p_unit(p: Params, frame_number: int, refs, is_ref: bool,
         w.write_uint(p.codeblock_mode_index)
     w.sync()
 
+    band_bits = np.zeros(3 * nb, np.float64)
     for comp in range(3):
         bands = sl.unflatten_host(host_q[comp], shapes3[comp])
         for index in range(nb):
@@ -1323,6 +1343,7 @@ def _write_p_unit(p: Params, frame_number: int, refs, is_ref: bool,
                 payload, first_qi = sb.encode_subband_arith(
                     qdata, parent_q, position, hcb, vcb,
                     p.codeblock_mode_index == 1, cbqi)
+            band_bits[comp * nb + index] = 8 * len(payload)
             w.write_uint(len(payload))
             if first_qi == -1:
                 first_qi = qi
@@ -1330,4 +1351,4 @@ def _write_p_unit(p: Params, frame_number: int, refs, is_ref: bool,
             w.sync()
             w.write_bytes(bytes(payload))
     w.sync()
-    return w.get_bytes()
+    return w.get_bytes(), band_bits

@@ -49,9 +49,14 @@ def _codeblock_counts(p: Params, index: int):
 def encode_picture(planes_u8, p: Params, frame_number: int,
                    quant_indices=None, is_ref: bool = False,
                    retired: int | None = None,
-                   return_recon: bool = False):
+                   return_recon: bool = False,
+                   band_bits_out: list | None = None):
     """Encode one intra picture; quant_indices: either None (all zero:
-    lossless), an int, or a map (component, subband) -> (vcb, hcb) array."""
+    lossless), an int, or a map (component, subband) -> (vcb, hcb) array.
+
+    band_bits_out: optional list; when given, a (3*nb,) per-(component,
+    band) coded-payload-bits array is appended (actual_subband_bits
+    analog, schroencoder.c:2548-2568, for the arith-correction EMA)."""
     depth = p.transform_depth
     nb = subband_count(depth)
     iwt_dims = [(p.iwt_luma_height, p.iwt_luma_width),
@@ -70,6 +75,7 @@ def encode_picture(planes_u8, p: Params, frame_number: int,
     w.sync()
 
     bit_depth = p.video_format.bit_depth
+    band_bits = np.zeros(3 * nb, np.float64)
     recon_planes = []
     for comp, (plane, (oh, ow)) in enumerate(zip(planes_u8, iwt_dims)):
         if bit_depth > 8:
@@ -111,6 +117,7 @@ def encode_picture(planes_u8, p: Params, frame_number: int,
             else:
                 payload, first_qi = sb.encode_subband_arith(
                     qdata, parent_deq, position, hcb, vcb, have_qo, qi_arr)
+            band_bits[comp * nb + index] = 8 * len(payload)
             w.write_uint(len(payload))
             if first_qi == -1:
                 first_qi = int(qi_arr[0, 0])
@@ -137,6 +144,8 @@ def encode_picture(planes_u8, p: Params, frame_number: int,
             else:
                 recon_planes.append(np.asarray(_to_u8(rplane, h_pic, w_pic)))
     w.sync()
+    if band_bits_out is not None:
+        band_bits_out.append(band_bits)
     if return_recon:
         return w.get_bytes(), tuple(recon_planes)
     return w.get_bytes()

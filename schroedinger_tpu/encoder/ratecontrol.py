@@ -141,6 +141,43 @@ def estimate_bits_at(bits61, qi_bands) -> float:
     return float(bits61[np.asarray(qi_bands), np.arange(nb)].sum())
 
 
+class ArithCorrection:
+    """Per-(component, band) x {intra, inter} arith-vs-estimate bit-ratio
+    tables (schroencoder.c:2548-2590 average_arith_context_ratios_{intra,
+    inter}[component][band], init 1.0 at :572-573, EMA 0.9/0.1 guarded by
+    est > 200).
+
+    Our stat tables are exact sint-length sums, so the ratio measures how
+    far the adaptive arithmetic coder compresses below the raw VLC length
+    per band — near 1 for dense low bands, far below 1 for sparse high
+    bands whose codeblocks collapse to zero flags.  Scaling the per-band
+    bit estimates by these ratios before the RD pick re-balances spend
+    toward the bands where bits are genuinely cheap (the reference applies
+    its ratios at schroquantiser.c:706-725 before entropy_to_lambda).
+
+    Unlike the reference we EMA against the RAW estimate, not the
+    already-corrected one (the reference's update reads est_entropy that
+    was pre-multiplied by the old ratio, so its fixed point is
+    sqrt(actual/raw) — half-strength correction; ours converges to the
+    true actual/raw ratio)."""
+
+    def __init__(self, ncol: int):
+        self.intra = np.ones(ncol, np.float64)
+        self.inter = np.ones(ncol, np.float64)
+
+    def get(self, intra: bool) -> np.ndarray:
+        return self.intra if intra else self.inter
+
+    def update(self, intra: bool, actual_bits, est_bits) -> None:
+        """actual_bits/est_bits: (ncol,) per-(component, band) coded vs
+        estimated bits at the picked quant indices."""
+        tab = self.get(intra)
+        a = np.asarray(actual_bits, np.float64)
+        e = np.asarray(est_bits, np.float64)
+        ok = e > 200.0
+        tab[ok] = 0.9 * tab[ok] + 0.1 * (a[ok] / e[ok])
+
+
 class CbrController:
     """Reference-grade CBR bit reservoir (schroencoder.c:183-545).
 
@@ -394,10 +431,12 @@ def qi_from_lambda(bits61, err61, lam: float,
 
 
 def lambda_for_bits(bits61, err61, target_bits: float,
-                    band_scales=None, correction: float = 1.0) -> float:
+                    band_scales=None, correction=1.0) -> float:
     """Frame lambda whose RDO pick costs ~target_bits
     (schro_encoder_entropy_to_lambda, schroquantiser.c:887-960: geometric
-    bracketing by x100 then 7-step geometric bisection)."""
+    bracketing by x100 then 7-step geometric bisection).  correction:
+    scalar or per-band (ncol,) arith-vs-estimate ratios scaling the bit
+    estimates (average_arith_context_ratios analog)."""
     bits61 = np.asarray(bits61, np.float64) * correction
     err61 = np.asarray(err61, np.float64)
     nb = bits61.shape[1]
@@ -439,7 +478,7 @@ def lambda_for_bits(bits61, err61, target_bits: float,
 
 
 def pick_bands_rdo(stats, target_bits: float, band_scales=None,
-                   correction: float = 1.0) -> np.ndarray:
+                   correction=1.0) -> np.ndarray:
     """CBR per-band pick: lambda from the bit allocation, then the RD
     argmin (choose_quantisers_rdo_cbr, schroquantiser.c:772-780). Unlike
     fit-smallest-base this degrades gracefully: a tiny allocation gives a

@@ -40,3 +40,28 @@ def test_cbr_hits_bitrate():
     for g3, r3 in zip(mine, ref):
         for g, r in zip(g3, r3):
             np.testing.assert_array_equal(g, r)
+
+    # per-(component, band) arith-correction tables learned something:
+    # the EMA must move at least some inter bands away from init 1.0
+    # (the arith coder codes sparse bands far below the sint estimate),
+    # and every ratio must stay positive and finite
+    corr = enc.acorr.inter
+    assert np.all(np.isfinite(corr)) and np.all(corr > 0)
+    assert np.any(np.abs(corr - 1.0) > 0.02), corr
+    assert np.all(np.isfinite(enc.acorr.intra))
+
+
+def test_arith_correction_ema():
+    from schroedinger_tpu.encoder.ratecontrol import ArithCorrection
+    ac = ArithCorrection(6)
+    est = np.full(6, 1000.0)
+    act = np.asarray([500.0, 1000, 2000, 100, 0, 1500])
+    ac.update(False, act, est)
+    np.testing.assert_allclose(
+        ac.inter, [0.95, 1.0, 1.1, 0.91, 0.9, 1.05])
+    # guarded: est <= 200 entries never update (schroencoder.c:2558)
+    ac2 = ArithCorrection(2)
+    ac2.update(True, [999.0, 999.0], [150.0, 201.0])
+    np.testing.assert_allclose(ac2.intra[0], 1.0)
+    assert ac2.intra[1] != 1.0
+    assert np.all(ac2.inter == 1.0)

@@ -58,7 +58,9 @@ def run(skip_entropy: bool):
         real = ei._write_p_unit
 
         def stub(*_a, **_kw):
-            return b"BBCD" + bytes([0x0D]) + b"\x00" * 8 + b"\x00" * 2000
+            import numpy as _np
+            return (b"BBCD" + bytes([0x0D]) + b"\x00" * 8 + b"\x00" * 2000,
+                    _np.zeros(30))
         ei._write_p_unit = stub
     vf = VideoFormat(width=W, height=H, clean_width=W, clean_height=H,
                      chroma_format=ChromaFormat.C420,
