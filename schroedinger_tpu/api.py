@@ -363,8 +363,10 @@ class Decoder:
     """Dirac/VC-2 decoder: full streams, every picture type."""
 
     def __init__(self):
-        from schroedinger_tpu.decoder.core import StreamDecoder
-        self._core = StreamDecoder()
+        # pipelined: host entropy decode overlaps device render across
+        # pictures; bit-exact, falls back per picture where needed
+        from schroedinger_tpu.decoder.pipeline import PipelinedStreamDecoder
+        self._core = PipelinedStreamDecoder()
 
     @property
     def md5_failures(self):

@@ -297,6 +297,7 @@ class StreamDecoder:
         (r, p, picture_number, ref_nums, retired, is_ref,
          zero_residual, mv) = self._parse_picture(code, payload)
 
+        num_refs = p.num_refs
         if p.is_lowdelay:
             planes = lod.decode_picture(payload[r.bits_read // 8:], p)
         elif num_refs == 0:

@@ -179,6 +179,146 @@ def u8_to_deep(plane, bits: int = 10):
     return ((p << (bits - 8)) | (p >> (16 - bits))).astype(np.uint16)
 
 
+# ---- RGB frontends (ARGB pack/unpack, colour matrix, crop, subsample) ----
+
+def unpack_argb(data, width: int, height: int):
+    """ARGB bytes -> (Y, Co, Cg) int16 planes, 4:4:4.
+
+    Reference-exact integer lifting (schrovirtframe.c:692-731 unpack_argb,
+    its YCoCg variant):
+        Co = R - B;  t = B - ((R - B) >> 1);  Y = t + (G >> 1);  Cg = G - t
+    Arithmetic shifts on negatives match C's int >>."""
+    a = np.frombuffer(data, np.uint8).reshape(height, width, 4)
+    r = a[..., 1].astype(np.int16)
+    g = a[..., 2].astype(np.int16)
+    b = a[..., 3].astype(np.int16)
+    t = b - ((r - b) >> 1)
+    return (t + (g >> 1)).astype(np.int16), (r - b).astype(np.int16), \
+        (g - t).astype(np.int16)
+
+
+def pack_argb(y, co, cg, alpha: int = 0xFF) -> bytes:
+    """(Y, Co, Cg) int16 planes -> ARGB bytes (schrovirtframe.c:1264-1287
+    pack_argb, exact integer ops incl. its u8 wrap on store):
+        t = Y + (Cg >> 1);  B = t - (Co >> 1);  R = B + Co;  G = t + Cg"""
+    y = np.asarray(y, np.int16)
+    co = np.asarray(co, np.int16)
+    cg = np.asarray(cg, np.int16)
+    t = y + (cg >> 1)
+    b = t - (co >> 1)
+    h, w = y.shape
+    out = np.empty((h, w, 4), np.uint8)
+    out[..., 0] = alpha
+    out[..., 1] = (b + co).astype(np.uint8)   # wraps like the C u8 store
+    out[..., 2] = (t + cg).astype(np.uint8)
+    out[..., 3] = b.astype(np.uint8)
+    return out.tobytes()
+
+
+# studio-range RGB->YCbCr rows ((m1, m2, m3), offset) per component
+# (schrovirtframe.c:1375-1421 color_matrix carries the BT.601 set; BT.709
+# derived the same way: 219/255- and 224/255-scaled standard coefficients)
+_COLOR_MATRICES = {
+    "bt601": (((0.25679, 0.50413, 0.097906), 16.0),
+              ((-0.14822, -0.29099, 0.43922), 128.0),
+              ((0.43922, -0.36779, -0.071427), 128.0)),
+    "bt709": (((0.18259, 0.61423, 0.062008), 16.0),
+              ((-0.10064, -0.33857, 0.43922), 128.0),
+              ((0.43922, -0.39894, -0.040274), 128.0)),
+}
+
+# inverse (YCbCr studio -> RGB): (y_scale, cb_coef, cr_coef) per channel
+_INV_MATRICES = {
+    "bt601": ((1.16438, 0.0, 1.59603),
+              (1.16438, -0.39176, -0.81297),
+              (1.16438, 2.01723, 0.0)),
+    "bt709": ((1.16438, 0.0, 1.79274),
+              (1.16438, -0.21325, -0.53291),
+              (1.16438, 2.11240, 0.0)),
+}
+
+
+def rgb_to_yuv(r, g, b, matrix: str = "bt601"):
+    """RGB u8 planes -> studio-range (Y, Cb, Cr) u8 4:4:4 with the
+    reference's floor(x + 0.5) rounding (schrovirtframe.c:1417-1419)."""
+    rows = _COLOR_MATRICES[matrix]
+    srcs = [np.asarray(p, np.float64) for p in (r, g, b)]
+    out = []
+    for (m1, m2, m3), offset in rows:
+        v = np.floor(srcs[0] * m1 + srcs[1] * m2 + srcs[2] * m3
+                     + offset + 0.5)
+        out.append(np.clip(v, 0, 255).astype(np.uint8))
+    return tuple(out)
+
+
+def yuv_to_rgb(y, u, v, matrix: str = "bt601"):
+    """Studio-range (Y, Cb, Cr) u8 4:4:4 -> RGB u8 planes (inverse of
+    rgb_to_yuv, floor(x + 0.5) rounding, clipped)."""
+    yf = np.asarray(y, np.float64) - 16.0
+    cb = np.asarray(u, np.float64) - 128.0
+    cr = np.asarray(v, np.float64) - 128.0
+    out = []
+    for ys, cbc, crc in _INV_MATRICES[matrix]:
+        val = np.floor(ys * yf + cbc * cb + crc * cr + 0.5)
+        out.append(np.clip(val, 0, 255).astype(np.uint8))
+    return tuple(out)
+
+
+def subsample_444(planes, target: str = "420"):
+    """4:4:4 -> 4:2:2 / 4:2:0 by point sampling, exactly like the
+    reference's convert_444_422/convert_444_420 virtual frames
+    (schrovirtframe.c:1437-1476: dest[j] = src[2j], chroma line 2i)."""
+    y, u, v = (np.asarray(p) for p in planes)
+    if target == "422":
+        return y, u[:, ::2].copy(), v[:, ::2].copy()
+    if target == "420":
+        return y, u[::2, ::2].copy(), v[::2, ::2].copy()
+    raise ValueError(target)
+
+
+def upsample_to_444(planes, source: str = "420"):
+    """4:2:0 / 4:2:2 -> 4:4:4 by sample replication (the mirror of the
+    point-sampled subsample; schrovirtframe.c convert_*_444 analogs)."""
+    y, u, v = (np.asarray(p) for p in planes)
+    if source == "420":
+        u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)
+        v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
+    elif source == "422":
+        u = np.repeat(u, 2, axis=1)
+        v = np.repeat(v, 2, axis=1)
+    else:
+        raise ValueError(source)
+    h, w = y.shape
+    return y, u[:h, :w], v[:h, :w]
+
+
+def rgb_to_420(rgb, matrix: str = "bt601"):
+    """(h, w, 3) RGB u8 image -> (y, u, v) u8 4:2:0 planes: colour matrix
+    then point subsample — the full RGB source frontend."""
+    rgb = np.asarray(rgb, np.uint8)
+    yuv = rgb_to_yuv(rgb[..., 0], rgb[..., 1], rgb[..., 2], matrix)
+    return subsample_444(yuv, "420")
+
+
+def yuv420_to_rgb(planes, matrix: str = "bt601"):
+    """(y, u, v) u8 4:2:0 planes -> (h, w, 3) RGB u8 image."""
+    y, u, v = upsample_to_444(planes, "420")
+    r, g, b = yuv_to_rgb(y, u, v, matrix)
+    return np.stack([r, g, b], axis=-1)
+
+
+def crop(planes, width: int, height: int, h_shift: int = 1,
+         v_shift: int = 1):
+    """Top-left crop to (width, height) with chroma dims scaled by the
+    format shifts (schro_virt_frame_new_crop, schrovirtframe.c:1854-1880;
+    the reference crops from the origin, no offset)."""
+    y, u, v = (np.asarray(p) for p in planes)
+    assert width <= y.shape[1] and height <= y.shape[0]
+    cw, ch = width >> h_shift, height >> v_shift
+    return (y[:height, :width].copy(), u[:ch, :cw].copy(),
+            v[:ch, :cw].copy())
+
+
 _UNPACK = {"YUY2": unpack_yuy2, "YUYV": unpack_yuy2, "UYVY": unpack_uyvy,
            "AYUV": unpack_ayuv, "v210": unpack_v210, "v216": unpack_v216,
            "AY64": unpack_ay64}

@@ -105,3 +105,59 @@ def test_cli_pipe_encode_decode(tmp_path):
     mse = np.mean((out[0][0].astype(np.float64)
                    - frames[0][0].astype(np.float64)) ** 2)
     assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) > 30
+
+
+def test_cli_set_bridge(tmp_path):
+    """--set bridges every registry setting into the encoder (the
+    GStreamer-element property equivalent, gstschroenc.c:172-210)."""
+    import os
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+
+    r = subprocess.run(
+        [sys.executable, "tools/schro_tpu.py", "list-settings"],
+        env=env, capture_output=True, timeout=120)
+    assert r.returncode == 0, r.stderr.decode()
+    lines = r.stdout.decode().strip().splitlines()
+    assert len(lines) == 71
+    assert lines[0].startswith("rate_control")
+
+    w, h = 96, 80
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 60 * np.sin(xx / 7.0) * np.cos(yy / 5.0))
+    frames = [((np.roll(base, i, axis=1)).clip(0, 255).astype(np.uint8),
+               np.full((h // 2, w // 2), 128, np.uint8),
+               np.full((h // 2, w // 2), 90, np.uint8)) for i in range(3)]
+    buf = io.BytesIO()
+    from schroedinger_tpu.video_format import VideoFormat
+    vf = VideoFormat(width=w, height=h, clean_width=w, clean_height=h,
+                     chroma_format=ChromaFormat.C420,
+                     frame_rate_numerator=25, frame_rate_denominator=1)
+    wr = y4m.Y4MWriter(buf, vf)
+    wr.write_frames(frames)
+    drc = tmp_path / "out.drc"
+    r = subprocess.run(
+        [sys.executable, "tools/schro_tpu.py", "encode", "-", str(drc),
+         "--profile", "longgop",
+         "--set", "rate_control=constant_bitrate",
+         "--set", "bitrate=800000",
+         "--set", "enable_md5=true",
+         "--set", "mv_precision=2",
+         "--set", "magic_keyframe_weight=9"],
+        input=buf.getvalue(), env=env, capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()
+    stream = drc.read_bytes()
+    assert stream[:4] == b"BBCD"
+    # enable_md5 produced MD5 auxiliary units (payload tag 3)
+    from schroedinger_tpu import bitstream as bs
+    tags = [payload[0] for code, payload in bs.split_units(stream)
+            if code == bs.AUXILIARY_DATA and payload]
+    assert 3 in tags
+
+    # unknown setting is a clean CLI error
+    r2 = subprocess.run(
+        [sys.executable, "tools/schro_tpu.py", "encode", "-", str(drc),
+         "--set", "not_a_setting=1"],
+        input=buf.getvalue(), env=env, capture_output=True, timeout=120)
+    assert r2.returncode != 0
+    assert b"unknown setting" in r2.stderr
