@@ -160,11 +160,13 @@ def _get_p_pipeline(p: Params, want_recon: bool):
 
     def rc_bits(fy, fu, fv):
         from schroedinger_tpu.encoder.ratecontrol import _sint_bits
-        qmj = jnp.asarray(qm)
         flat = jnp.concatenate([fy, fu, fv]).astype(jnp.int32)
-        qmo = jnp.concatenate(
-            [jnp.repeat(qmj, sizes, total_repeat_length=int(sizes.sum()))
-             for sizes in sizes3])
+        # per-coefficient quant-matrix offsets as a precomputed numpy
+        # constant: jnp.repeat with array repeats lowers to a full-length
+        # cumsum whose log-step reduce-windows cost minutes of XLA
+        # constant folding at HD shapes
+        qmo = jnp.asarray(np.concatenate(
+            [np.repeat(qm, sizes) for sizes in sizes3]))
 
         def one(base):
             qi = jnp.clip(base - qmo, 0, 60)
@@ -173,14 +175,18 @@ def _get_p_pipeline(p: Params, want_recon: bool):
 
         return jax.lax.map(one, jnp.arange(61, dtype=jnp.int32))
 
+    # per-coefficient band ids (numpy constants; see rc_bits note)
+    band_id3 = [np.repeat(np.arange(len(sizes), dtype=np.int32), sizes)
+                for sizes in sizes3]
+
     def quant_recon(fy, fu, fv, py, pu, pv, qi_bands):
         outq = []
         outr = []
-        for f, pred, shapes, sizes, (wpic, hpic) in zip(
-                (fy, fu, fv), (py, pu, pv), shapes3, sizes3, pic_sizes):
-            n = int(sizes.sum())
-            qf = jnp.repeat(QF[qi_bands], sizes, total_repeat_length=n)
-            qo = jnp.repeat(QO[qi_bands], sizes, total_repeat_length=n)
+        for f, pred, shapes, sizes, band_id, (wpic, hpic) in zip(
+                (fy, fu, fv), (py, pu, pv), shapes3, sizes3, band_id3,
+                pic_sizes):
+            qf = QF[qi_bands][band_id]
+            qo = QO[qi_bands][band_id]
             qq = q.quantise(f, qf, qo)
             outq.append(qq.astype(jnp.int16))
             if want_recon:
@@ -632,6 +638,11 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
     shapes3 = [_band_shapes(oh, ow, depth) for (oh, ow) in iwt_dims]
     sizes3 = [np.asarray([h * w for (h, w) in shapes], np.int64)
               for shapes in shapes3]
+    # per-coefficient band ids as numpy constants (jnp.repeat with array
+    # repeats lowers to a full-length cumsum — minutes of XLA constant
+    # folding at HD shapes; a constant-index gather folds instantly)
+    band_id3 = [np.repeat(np.arange(len(sizes), dtype=np.int32), sizes)
+                for sizes in sizes3]
     QF = jnp.asarray(tables.QUANT_FACTOR, jnp.int32)
     QO = jnp.asarray(tables.QUANT_OFFSET_3_8, jnp.int32)
 
@@ -921,8 +932,12 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                 qf = QF[qi_coeff]
                 qo = QO[qi_coeff]
             else:
-                qf = jnp.repeat(QF[qi_c], sizes, total_repeat_length=n)
-                qo = jnp.repeat(QO[qi_c], sizes, total_repeat_length=n)
+                # constant band-id gather, not jnp.repeat: array-repeats
+                # lower to a full-length cumsum whose reduce-window
+                # decomposition constant-folds for minutes at HD shapes
+                band_id = band_id3[ci]
+                qf = QF[qi_c][band_id]
+                qo = QO[qi_c][band_id]
             qq = q.quantise(flat, qf, qo)
             qq16 = qq.astype(jnp.int16)
             outq.append(qq16)

@@ -10,7 +10,15 @@ serialize far below DMA-engine throughput on this toolchain, and per-block
 ME therefore uses the jnp gather for hint refines plus the dense
 shifted-SAD scan (me._dense_scan, gather-free) for the exhaustive coarse
 level; this kernel is kept as a bit-exact compiled-verified reference
-design, enabled only by SCHRO_TPU_PALLAS_ME=1.
+design, enabled only by SCHRO_TPU_PALLAS_ME=1.  It is THE single
+retained Pallas experiment artifact (round-3's separate
+tools/check_pallas_tpu.py harness is folded into this header): to
+re-validate on hardware, set SCHRO_TPU_PALLAS_ME=1 and run the full
+hierarchical ME at 1080p geometry against the jnp path —
+tests/test_pallas_me.py does exactly that in interpret mode, and the
+same comparison runs compiled on a real chip by calling
+me.make_me_fn(1080, 1920, 16, 16, 120, 68, levels=5) under both values
+of the env var (bit-exact, measured 45-150x slower; PROFILE.md §2).
 
 Design notes (cf. schrometric.c:32-116, the reference's SAD scan, and
 SURVEY §2.3.2's SIMD mapping).  Mosaic's memory rules shape the design: DMA slice offsets must be *provably* tile-aligned (8 on the
@@ -42,8 +50,8 @@ is awaited so they overlap on the DMA engine.
 Bit-exact vs me._patch_refine: candidates are visited in the same
 (dy, dx) lexicographic order with a strictly-smaller take, so ties
 resolve identically.  tests/test_pallas_me.py runs the interpreter on
-CPU; tools/check_pallas_tpu.py runs the compiled kernel on hardware at
-1080p geometry.
+CPU; the compiled-on-hardware check is described at the top of this
+docstring.
 """
 from __future__ import annotations
 
