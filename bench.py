@@ -121,8 +121,11 @@ def bench_ours(frames, bitrate=BITRATE, warmup=True, tag="ours"):
                      frame_rate_numerator=FPS, frame_rate_denominator=1)
 
     def enc():
+        # tworef/BBBP engine — the reference's own default (adaptive ->
+        # tworef, schroencoder.c:599-604); the oracle side runs the same
         return GopEncoder(vf, gop_length=GOP, mv_precision=2,
-                          bitrate=bitrate, fps=FPS)
+                          bitrate=bitrate, fps=FPS,
+                          gop_structure="biref")
 
     if warmup:
         t0 = time.perf_counter()
@@ -142,9 +145,12 @@ def bench_oracle(frames, bitrate=BITRATE, tag="oracle"):
     t0 = time.perf_counter()
     # rate_control 1 = the reference's actual CBR mode (TM5 + reservoir
     # padding), the same mode ours runs — both sides hold the SAME spend,
-    # so the PSNR comparison is at equal rate by construction
+    # so the PSNR comparison is at equal rate by construction.
+    # gop_structure 0 = adaptive -> the reference's default tworef/BBBP
+    # engine (schroencoder.c:599-604), the strongest configuration of the
+    # reference and the structural twin of our biref engine.
     out = so.encode(frames, W, H,
-                    settings={"gop_structure": 2, "queue_depth": 1,
+                    settings={"gop_structure": 0,
                               "rate_control": 1, "bitrate": bitrate,
                               "au_distance": GOP})
     dt = time.perf_counter() - t0

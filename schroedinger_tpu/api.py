@@ -169,7 +169,7 @@ class Encoder:
             "inter_p_weight", "inter_b_weight", "allocation_scale",
             "badblock_multiplier_nonref", "badblock_multiplier_ref",
             "block_search_threshold", "scan_distance",
-            "me_bailout_limit")}
+            "me_bailout_limit", "error_power")}
         est = []
         if not cfg.get("enable_hierarchical_estimation"):
             est.append("no_hierarchical")

@@ -63,6 +63,12 @@ _lib.subband_decode_arith.argtypes = [
     C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
     C.c_int, _i32p]
 
+_lib.subband_decode_arith_raw.restype = None
+_lib.subband_decode_arith_raw.argtypes = [
+    C.c_char_p, C.c_int64, C.c_int, C.c_int, C.c_int,
+    C.c_void_p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
+    _i32p, _i32p]
+
 _lib.subband_quantise.restype = None
 _lib.subband_quantise.argtypes = [
     _i32p, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, _i32p,
@@ -158,6 +164,29 @@ def decode_subband_arith(payload, shape, quant_index, parent_deq, position,
         position, hcb, vcb, 1 if have_quant_offset else 0,
         1 if is_intra else 0, num_refs, out)
     return out.astype(np.int64)
+
+
+def decode_subband_arith_raw(payload, shape, quant_index, parent_q,
+                             position, hcb, vcb, have_quant_offset):
+    """Arith-decode one subband to SIGNED QUANTISED values (no dequant)
+    plus the (vcb, hcb) per-codeblock quant indices actually used —
+    context-stream-identical to decode_subband_arith, letting the
+    dequantisation run on device (parent_q must be the QUANTISED parent;
+    contexts only zero-test it)."""
+    h, w = shape
+    out = np.zeros((h, w), dtype=np.int32)
+    qi_out = np.zeros((vcb, hcb), dtype=np.int32)
+    if parent_q is not None:
+        p = np.ascontiguousarray(parent_q, np.int32)
+        pptr = p.ctypes.data_as(C.c_void_p)
+        pw = p.shape[1]
+    else:
+        pptr = None
+        pw = 0
+    _lib.subband_decode_arith_raw(
+        payload, len(payload), h, w, quant_index, pptr, pw,
+        position, hcb, vcb, 1 if have_quant_offset else 0, out, qi_out)
+    return out, qi_out
 
 
 def subband_quantise(data, position, hcb, vcb, quant_indices, is_intra,

@@ -825,6 +825,75 @@ void subband_decode_arith(
   (void)is_intra;
 }
 
+// Raw (quantised) variant of subband_decode_arith: stores the SIGNED
+// quantised magnitudes instead of dequantised values, and records the
+// per-codeblock quant index actually used, so the dequantisation can run
+// on device with the uploaded quantised data (half the wire bytes).
+// Context modeling is unchanged — parent / neighborhood / sign contexts
+// are zero- and sign-tests, for which quantised and dequantised values
+// are interchangeable (the caller must then also pass a QUANTISED parent
+// band).
+void subband_decode_arith_raw(
+    const uint8_t* payload, int64_t payload_len,
+    int h, int w, int quant_index,
+    const int32_t* parent_q, int pw,
+    int position, int hcb, int vcb, int have_quant_offset,
+    int32_t* out, int32_t* qi_out) {
+  ArithDec dec;
+  dec.init(payload, payload_len);
+  bool have_zero_flags = hcb > 1 || vcb > 1;
+  bool horiz = (position & 3) == 2;
+  bool vert = (position & 3) == 1;
+  bool have_parent = position >= 4;
+  int qi = quant_index;
+
+  memset(out, 0, sizeof(int32_t) * (size_t)h * w);
+
+  for (int cy = 0; cy < vcb; cy++) {
+    int y0, y1;
+    cb_bounds(h, vcb, cy, &y0, &y1);
+    for (int cx = 0; cx < hcb; cx++) {
+      int x0, x1;
+      cb_bounds(w, hcb, cx, &x0, &x1);
+      if (have_zero_flags) {
+        if (dec.decode_bit(CTX_ZERO_CODEBLOCK)) {
+          qi_out[cy * hcb + cx] = qi;
+          continue;
+        }
+      }
+      if (have_quant_offset) {
+        qi += (int)dec.decode_sint(CTX_QUANTISER_CONT, CTX_QUANTISER_VALUE,
+                                   CTX_QUANTISER_SIGN);
+        qi = std::min(std::max(qi, 0), 60);
+      }
+      qi_out[cy * hcb + cx] = qi;
+      for (int j = y0; j < y1; j++) {
+        int32_t* line = out + (int64_t)j * w;
+        int32_t* prev = line - w;
+        const int32_t* parent_line =
+            have_parent ? parent_q + (int64_t)(j >> 1) * pw : nullptr;
+        for (int i = x0; i < x1; i++) {
+          int parent = have_parent ? parent_line[i >> 1] : 0;
+          int nhood = 0;
+          if (j > 0) nhood |= prev[i];
+          if (i > 0) nhood |= line[i - 1];
+          if (i > 0 && j > 0) nhood |= prev[i - 1];
+          int prev_v = 0;
+          if (horiz) { if (i > 0) prev_v = line[i - 1]; }
+          else if (vert) { if (j > 0) prev_v = prev[i]; }
+          int sign_ctx = prev_v < 0 ? CTX_SIGN_NEG
+                        : (prev_v > 0 ? CTX_SIGN_POS : CTX_SIGN_ZERO);
+          int cont = parent == 0 ? (nhood ? CTX_ZPNN_F1 : CTX_ZPZN_F1)
+                                 : (nhood ? CTX_NPNN_F1 : CTX_NPZN_F1);
+          int64_t v = dec.decode_uint(cont, CTX_COEFF_DATA);
+          if (v && dec.decode_bit(sign_ctx)) v = -v;
+          line[i] = (int32_t)v;
+        }
+      }
+    }
+  }
+}
+
 // Quantise a full subband codeblock-wise; DC prediction for intra band 0.
 // data in/out: int32 (h, w). Writes quantised into qout, dequantised into
 // data (in place), matching schro_encoder_quantise_subband.

@@ -107,6 +107,12 @@ class GopEncoder:
         self._au_frame = None     # picture number of the last AU intra
         self._last_badblock = 0.0  # newest frame's badblock ratio
         self._sent_stream_aux = False  # codec/bitrate aux emitted yet?
+        # EMA of non-residual bits per picture (headers + MV data),
+        # subtracted from the TM5 allocation to get the residual target
+        # of the on-device lambda fit (the reference knows the exact
+        # value because it packs headers first, schroencoder.c:2532)
+        self._oh_inter = None
+        self._oh_intra = None
         self.perceptual_weighting = perceptual_weighting
         self.perceptual_distance = perceptual_distance
         self.open_gop = open_gop
@@ -143,7 +149,8 @@ class GopEncoder:
                  allocation_scale=1.1, me_bailout_limit=0.33,
                  badblock_multiplier_ref=8.0,
                  badblock_multiplier_nonref=4.0,
-                 block_search_threshold=15.0, scan_distance=4.0)
+                 block_search_threshold=15.0, scan_distance=4.0,
+                 error_power=4.0)
         m.update(magic or {})
         self.magic = m
         self.rc = None
@@ -394,7 +401,8 @@ class GopEncoder:
                 me_levels=self.downsample_levels,
                 block_search_threshold=self.magic["block_search_threshold"],
                 scan_distance=self.magic["scan_distance"],
-                estimation=self.estimation, **qargs)
+                estimation=self.estimation,
+                error_power=self.magic["error_power"], **qargs)
             if pends:
                 ei_inter.prefetch_pending(pends[-1][0])
             # the new recon/upsample device handles become the reference
@@ -456,14 +464,16 @@ class GopEncoder:
                 scales = (self.qengine.band_scales
                           if self.qengine.band_scales is not None
                           else np.ones(3 * nb))
-                return {"lam_bands": self.qengine.lam * scales / corr,
+                return {"lam_bands": self.qengine.lam * scales,
+                        "corr_bands": corr,
                         "me_lam": self._me_lam()}
             return {"qi_bands_override": self.qengine.pick(),
                     "want_stats": True}
         if self.rc is not None:
             if hasattr(self.rc, "frame_lambda"):   # TM5 (enable_rdo_cbr)
                 return {"lam_bands": (self.rc.frame_lambda(kind)
-                                      * self._band_scales3(False) / corr),
+                                      * self._band_scales3(False)),
+                        "corr_bands": corr,
                         "me_lam": self._me_lam()}
             # allocation engine: host pick against lagged stat tables
             stats = (self._last_stats or self._stats_by_kind.get(kind)
@@ -499,12 +509,18 @@ class GopEncoder:
             pad = self.rc.update(bits, est)
         return bs.make_padding_unit(pad) if pad else b""
 
-    def _acorr_update(self, pending) -> None:
+    def _acorr_update(self, pending, unit_bits: int = 0) -> None:
         """EMA the inter arith-correction tables from a finished inter
-        picture's actual vs estimated per-band bits."""
+        picture's actual vs estimated per-band bits, and the non-residual
+        overhead EMA feeding the lambda-fit target."""
         est = pending.get("band_bits_est")
         if est is not None:
             self.acorr.update(False, pending["band_bits_actual"], est)
+        if unit_bits:
+            oh = max(unit_bits - float(
+                np.sum(pending.get("band_bits_actual", 0.0))), 0.0)
+            self._oh_inter = (oh if self._oh_inter is None
+                              else 0.8 * self._oh_inter + 0.2 * oh)
 
     def _me_lam(self) -> float:
         """Mode-decision lambda (frame_me_lambda analog): tracks the
@@ -665,6 +681,7 @@ class GopEncoder:
             block_search_threshold=self.magic["block_search_threshold"],
             scan_distance=self.magic["scan_distance"],
             estimation=self.estimation,
+            error_power=self.magic["error_power"],
             **self._quant_args("P", p))
         keep = planes if (self.enable_psnr or self.enable_ssim) else None
         meta = (num, refs, retire, True, "P", sc, keep)
@@ -694,6 +711,7 @@ class GopEncoder:
             block_search_threshold=self.magic["block_search_threshold"],
             scan_distance=self.magic["scan_distance"],
             estimation=self.estimation,
+            error_power=self.magic["error_power"],
             **self._quant_args("B", p))
         keep = planes if (self.enable_psnr or self.enable_ssim) else None
         meta = (num, refs, None, False, "B", sc, keep)
@@ -722,7 +740,7 @@ class GopEncoder:
             self.qengine.update(stats)
         if stats is not None:
             self._stats_by_kind[kind] = stats
-        self._acorr_update(pending)
+        self._acorr_update(pending, len(unit) * 8)
         self._last_badblock = pending.get("badblock_ratio", 0.0)
         if pending.get("qi_bands") is not None and kind != "B":
             nbq = pending["layout"]["nb"]
@@ -767,7 +785,7 @@ class GopEncoder:
             self.qengine.update(stats)
         if stats is not None:
             self._last_stats = stats
-        self._acorr_update(pending)
+        self._acorr_update(pending, len(unit) * 8)
         self._last_badblock = pending.get("badblock_ratio", 0.0)
         if pending.get("qi_bands") is not None:
             nbq = pending["layout"]["nb"]
@@ -823,10 +841,61 @@ class GopEncoder:
             intra_est_bands = None
             if (self.qengine is not None
                     and self.qengine.mode == "constant_lambda"):
-                # rdo_lambda intra: frame lambda x magic_I_lambda_scale
-                # (schroencoder.c:128-130)
                 intra_lambda = (self.qengine.lam
                                 * self.magic["I_lambda_scale"])
+            elif self.rc is not None and hasattr(self.rc, "frame_lambda"):
+                intra_lambda = self.rc.frame_lambda("I")
+            use_fused = (intra_lambda is not None
+                         and self.vf.bit_depth == 8
+                         and not self.enable_noarith
+                         and p.codeblock_mode_index == 0)
+            if use_fused:
+                # fused intra path: one device dispatch + one wire fetch
+                # (transform, stats, on-device RD pick, quantise), host
+                # native entropy + serial DC-predict band 0, device recon
+                (unit, recon, qi_bands, stats, bb_act,
+                 bb_est) = ei_intra.encode_picture_fused(
+                    planes, p, num,
+                    intra_lambda * self._band_scales3(True),
+                    is_ref=True, retired=retired,
+                    corr=self.acorr.intra,
+                    error_power=self.magic["error_power"])
+                self.acorr.update(True, bb_act, bb_est)
+                oh = max(len(unit) * 8 - float(np.sum(bb_act)), 0.0)
+                self._oh_intra = (oh if self._oh_intra is None
+                                  else 0.8 * self._oh_intra + 0.2 * oh)
+                up = None
+                pad_unit = b""
+                if self.rc:
+                    pad_unit = self._rc_update("I", len(unit) * 8, num)
+                if self.enable_md5 or self.enable_psnr or self.enable_ssim:
+                    recon = tuple(np.asarray(pl) for pl in recon)
+                if self.enable_md5:
+                    from schroedinger_tpu.coding import native as _native
+                    units.append(bs.make_aux_unit(
+                        bs.AUX_MD5_CHECKSUM,
+                        _native.frame_md5(tuple(np.asarray(pl)
+                                                for pl in recon))))
+                units.append(unit)
+                if pad_unit:
+                    units.append(pad_unit)
+                if manage_refs:
+                    if self.prev_ref is not None:
+                        self.ref_frames.pop(self.prev_ref, None)
+                    self.prev_ref = self.last_ref
+                    self.last_ref = num
+                self.ref_frames[num] = RefFrame(tuple(recon), upsampled=up)
+                if num == self.frame_number:
+                    self.frame_number += 1
+                self.stats.record(frame=num, intra=True,
+                                  bits=len(unit) * 8,
+                                  sc_score=round(sc_score, 3),
+                                  **(self._quality_metrics(recon, planes)
+                                     if isinstance(recon[0], np.ndarray)
+                                     else {}),
+                                  buffer_level=(self.rc.buffer_level
+                                                if self.rc else None))
+                return self._chain.add(units)
             if self.rc or intra_lambda is not None:
                 import jax.numpy as jnp
                 from schroedinger_tpu.coding import slices as sl
@@ -843,7 +912,8 @@ class GopEncoder:
                     pyr = _forward_jit(prepped, p.transform_depth,
                                        p.wavelet_filter_index)
                     band_lists.append(sl.subband_arrays(pyr, p.transform_depth))
-                stats = stats_tables(band_lists, p, intra=True)
+                stats = stats_tables(band_lists, p, intra=True,
+                                     error_power=self.magic["error_power"])
                 # intra arith-correction: scale the per-band bit
                 # estimates by the measured intra coder ratios before
                 # the RD pick (schroquantiser.c:704-725)
@@ -898,6 +968,7 @@ class GopEncoder:
                 block_search_threshold=self.magic["block_search_threshold"],
                 scan_distance=self.magic["scan_distance"],
                 estimation=self.estimation,
+                error_power=self.magic["error_power"],
                 **self._quant_args("P", p))
             if dc_ratio > self.magic.get("me_bailout_limit", 0.33):
                 # intra bailout (schroencoder.c:2373-2384): motion
@@ -911,7 +982,7 @@ class GopEncoder:
                 self.qengine.update(stats)
             if stats is not None:
                 self._last_stats = stats
-            self._acorr_update(ipend)
+            self._acorr_update(ipend, len(unit) * 8)
             pad_unit = b""
             if self.rc:
                 pad_unit = self._rc_update("P", len(unit) * 8, num)

@@ -30,6 +30,7 @@ from schroedinger_tpu.decoder.core import RefFrame, _combine
 from schroedinger_tpu.decoder.lowdelay import _inverse_jit
 from schroedinger_tpu.encoder import me as me_mod
 from schroedinger_tpu.encoder.lowdelay import _forward_jit
+from schroedinger_tpu import tables
 from schroedinger_tpu.ops import obmc
 from schroedinger_tpu.params import Params, subband_count, subband_position
 
@@ -589,7 +590,8 @@ _P_FIELD_ORDER = ("split", "pred_mode", "using_global", "dx1", "dy1",
 def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                 want_recon: bool = True, rdo_pick: bool = False,
                 me_levels: int = 5, block_search_threshold: float = 15.0,
-                scan_distance: float = 4.0, estimation: tuple = ()):
+                scan_distance: float = 4.0, estimation: tuple = (),
+                error_power: float = 4.0):
     """One fused jitted program for a whole inter picture (TPU-first analog
     of the reference's per-stage encoder lifecycle, schroencoder.c:2500-2700):
 
@@ -614,7 +616,8 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
            want_stats, num_refs, want_recon, rdo_pick, me_levels,
            round(block_search_threshold * 16), round(scan_distance * 4),
            tuple(sorted(estimation)), tuple(p.horiz_codeblocks),
-           tuple(p.vert_codeblocks), p.codeblock_mode_index)
+           tuple(p.vert_codeblocks), p.codeblock_mode_index,
+           round(error_power * 16))
     hit = _ME_CACHE.get(key)
     if hit is not None:
         return hit
@@ -744,7 +747,7 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
         # (the reference's current-frame estimate tables +
         # choose_quantisers_rdo_cbr, schroquantiser.c:772-780 — only the
         # TM5 qf/lambda is serialized across pictures)
-        n_qsel = 2 if rdo_pick else 1
+        n_qsel = 4 if rdo_pick else 1
         if num_refs == 1:
             ref_y, up_y, up_u, up_v = args[:4]
             qsel = args[4:4 + n_qsel]
@@ -757,7 +760,7 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
             extra = args[8 + n_qsel] if n_extra else None
             ups2 = (up2_y, up2_u, up2_v)
         if rdo_pick:
-            lam_bands, me_lam = qsel
+            lam_bands, me_lam, target_bits, corr_bands = qsel
             qi_bands = None
         else:
             qi_bands = qsel[0]
@@ -845,6 +848,17 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
             # STATIC slicing, not segment_sum — scatter ops serialise
             # terribly on TPU.  Table columns are component-major:
             # column ci*nb + bi.
+            #
+            # The bit model is arith-aware (the analog of the reference's
+            # histogram arith-entropy estimate, schrohistogram.c:267-345):
+            # nonzero coefficients cost their sint length minus the
+            # leading flag bit; the zero/nonzero flags of the whole band
+            # cost their first-order binary entropy, which is what the
+            # adaptive coder's zero contexts + zero-codeblock flags
+            # actually achieve.  A raw sint-length sum (1 bit per zero)
+            # overstates sparse bands ~5x, making the arith-correction
+            # ratios operating-point-dependent and the CBR spend
+            # unstable.
             allflat = jnp.concatenate(rc_flat).astype(jnp.int32)
             bounds = []
             boff = 0
@@ -857,26 +871,76 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                 from schroedinger_tpu.encoder.ratecontrol import _sint_bits
                 qqq = q.quantise(allflat, QF[base], QO[base])
                 dqq = q.dequantise(qqq, QF[base], QO[base])
-                b = _sint_bits(qqq).astype(jnp.float32)
-                e = jnp.square((allflat - dqq).astype(jnp.float32))
+                nzm = (qqq != 0).astype(jnp.float32)
+                b = (_sint_bits(qqq).astype(jnp.float32) - 1.0) * nzm
+                # reference error metric: |orig - dequant|^magic_error_power
+                # (error_pow, schroquantiser.c:477-507; default power 4) —
+                # the lambda calibration (qf mapping, P/B scales, subband0
+                # scale) is tuned against THESE units
+                ad = jnp.abs((allflat - dqq).astype(jnp.float32))
+                e = ad ** jnp.float32(error_power)
                 bsum = [jnp.float32(0)] * (3 * nb)
                 esum = [jnp.float32(0)] * (3 * nb)
+                zsum = [jnp.float32(0)] * (3 * nb)
                 for bi, blo, bhi in bounds:
                     bsum[bi] = bsum[bi] + b[blo:bhi].sum()
                     esum[bi] = esum[bi] + e[blo:bhi].sum()
-                return jnp.stack(bsum), jnp.stack(esum)
+                    zsum[bi] = zsum[bi] + nzm[blo:bhi].sum()
+                return jnp.stack(bsum), jnp.stack(esum), jnp.stack(zsum)
 
-            rc_bits, rc_err = jax.lax.map(one,
-                                          jnp.arange(61, dtype=jnp.int32))
+            rc_mag, rc_err, rc_nz = jax.lax.map(
+                one, jnp.arange(61, dtype=jnp.int32))
+            nvec = jnp.asarray(np.concatenate(
+                [s.astype(np.float64) for s in sizes3]).astype(np.float32))
+            p1 = jnp.clip(rc_nz / nvec, 1e-6, 1.0 - 1e-6)
+            flag_bits = -(rc_nz * jnp.log2(p1)
+                          + (nvec - rc_nz) * jnp.log2(1.0 - p1))
+            rc_bits = rc_mag + flag_bits
         else:
             rc_bits = jnp.zeros((61, 3 * nb), jnp.float32)
             rc_err = jnp.zeros((61, 3 * nb), jnp.float32)
 
         if rdo_pick:
             # per-(component, band) RD argmin, index 60 excluded like the
-            # reference (schro_subband_pick_quant, schroquantiser.c:808-835)
-            cost = rc_bits[:60] + lam_bands[None, :] * rc_err[:60]
-            qi_bands = jnp.argmin(cost, axis=0).astype(jnp.int32)
+            # reference (schro_subband_pick_quant, schroquantiser.c:808-835),
+            # with the arith-correction ratios scaling the bit estimates
+            # (schroquantiser.c:706-725).
+            #
+            # target_bits > 0 engages the per-frame lambda fit: a
+            # geometric bisection scales the frame lambda so the
+            # corrected bit estimate of the picks matches the TM5
+            # allocation (the reference's entropy_to_lambda bisection,
+            # schroquantiser.c:887-960, moved on device).  The TM5 qf
+            # lambda seeds the search; the reference trusts qf's absolute
+            # calibration against ITS histogram estimates, while our
+            # exact tables need the per-frame fit to hold CBR spend.
+            bits_c = corr_bands[None, :] * rc_bits[:60]
+            cols = jnp.arange(3 * nb)
+
+            def pick_at(s):
+                cost = bits_c + (s * lam_bands)[None, :] * rc_err[:60]
+                qi = jnp.argmin(cost, axis=0).astype(jnp.int32)
+                return qi, bits_c[qi, cols].sum()
+
+            def fit(_):
+                def body(_, lohi):
+                    lo, hi = lohi
+                    mid = jnp.sqrt(lo * hi)
+                    _, b = pick_at(mid)
+                    # more lambda -> finer -> more bits
+                    return (jnp.where(b < target_bits, mid, lo),
+                            jnp.where(b < target_bits, hi, mid))
+
+                lo, hi = jax.lax.fori_loop(
+                    0, 22, body,
+                    (jnp.float32(1.0 / 16384.0), jnp.float32(16384.0)))
+                return jnp.sqrt(lo * hi)
+
+            s_fit = jax.lax.cond(target_bits > 0, fit,
+                                 lambda _: jnp.float32(1.0),
+                                 operand=None)
+            lam_bands = s_fit * lam_bands
+            qi_bands, _ = pick_at(s_fit)
 
         mq_qi = {}
         if mq_bands:
@@ -894,8 +958,9 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                     dq = q.dequantise(qq, QF[qid], QO[qid])
                     cb_b = _cb_sums(_sint_bits(qq).astype(jnp.float32),
                                     ys, xs)
-                    cb_e = _cb_sums(jnp.square(
-                        (band - dq).astype(jnp.float32)), ys, xs)
+                    cb_e = _cb_sums(
+                        jnp.abs((band - dq).astype(jnp.float32))
+                        ** jnp.float32(error_power), ys, xs)
                     costs.append(cb_b + lamb * cb_e)
                 pick = jnp.argmin(jnp.stack(costs), axis=0)
                 mq_qi[(ci, bi)] = jnp.clip(
@@ -1065,7 +1130,10 @@ def start_inter_picture(planes_u8, p: Params, ref1: RefFrame,
                         me_levels: int = 5,
                         block_search_threshold: float = 15.0,
                         scan_distance: float = 4.0,
-                        estimation: tuple = ()) -> dict:
+                        estimation: tuple = (),
+                        error_power: float = 4.0,
+                        target_bits: float = 0.0,
+                        corr_bands=None) -> dict:
     """Dispatch the fused inter step for one picture (async: XLA queues the
     work; nothing blocks). The returned pending dict carries the device
     handles — `recon`/`up` are usable as the next frame's reference
@@ -1089,7 +1157,8 @@ def start_inter_picture(planes_u8, p: Params, ref1: RefFrame,
         p, n_extra=n_extra, want_stats=want_stats, want_recon=want_recon,
         rdo_pick=rdo_pick, me_levels=me_levels,
         block_search_threshold=block_search_threshold,
-        scan_distance=scan_distance, estimation=tuple(estimation))
+        scan_distance=scan_distance, estimation=tuple(estimation),
+        error_power=error_power)
     if rdo_pick:
         qi_bands = None
     elif qi_bands_override is not None:
@@ -1111,10 +1180,14 @@ def start_inter_picture(planes_u8, p: Params, ref1: RefFrame,
         lam_bands = np.asarray(lam_bands, np.float64)
         if lam_bands.size == nb:
             lam_bands = np.tile(lam_bands, 3)
+        cb = (np.ones(3 * nb) if corr_bands is None
+              else np.asarray(corr_bands, np.float64))
         args = args + (jnp.asarray(lam_bands, jnp.float32),
                        jnp.float32(me_lam if me_lam is not None
                                    else float(tables.QUANT_FACTOR[base_qi])
-                                   / 8.0))
+                                   / 8.0),
+                       jnp.float32(target_bits or 0.0),
+                       jnp.asarray(cb, jnp.float32))
     else:
         args = args + (jnp.asarray(qi_bands),)
     if use_phasecorr:
@@ -1249,7 +1322,8 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
                          me_levels: int = 5,
                          block_search_threshold: float = 15.0,
                          scan_distance: float = 4.0,
-                         estimation: tuple = ()):
+                         estimation: tuple = (),
+                         error_power: float = 4.0):
     """Encode one P picture (start + finish of the fused step).  Returns
     (parse_unit_bytes, recon_planes, used_base_qi, stats, up_planes,
     dc_ratio, pending) where stats is (bits61, err61) per-(component, subband)
@@ -1267,7 +1341,8 @@ def encode_inter_picture(planes_u8, p: Params, frame_number: int,
                                me_levels=me_levels,
                                block_search_threshold=block_search_threshold,
                                scan_distance=scan_distance,
-                               estimation=estimation)
+                               estimation=estimation,
+                               error_power=error_power)
     unit, stats = finish_inter_picture(pend, frame_number, ref1_num,
                                        is_ref=is_ref, retired=retired)
     return unit, pend["recon"], base_qi, stats, pend["up"], \

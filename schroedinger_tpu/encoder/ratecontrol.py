@@ -53,7 +53,8 @@ def bits_per_base(flat_coeffs, qmo, intra_flag):
 _STATS_CACHE = {}
 
 
-def stats_tables(band_lists, p: Params, intra: bool):
+def stats_tables(band_lists, p: Params, intra: bool,
+                 error_power: float = 4.0):
     """Exact (61, 3*nb) per-(component, band) (bits, sq-error) tables for
     a transformed frame (schro_encoder_calc_estimates analog, which is
     also per component: frame->est_entropy[component][band]; one jitted
@@ -77,7 +78,7 @@ def stats_tables(band_lists, p: Params, intra: bool):
             off += arr.shape[0]
     flat = jnp.concatenate(flats).astype(jnp.int32)
     ncol = len(band_lists) * nb
-    key = (tuple(bounds), ncol, bool(intra))
+    key = (tuple(bounds), ncol, bool(intra), round(error_power * 16))
     fn = _STATS_CACHE.get(key)
     if fn is None:
         QF = jnp.asarray(tables.QUANT_FACTOR, jnp.int32)
@@ -85,20 +86,38 @@ def stats_tables(band_lists, p: Params, intra: bool):
                          else tables.QUANT_OFFSET_3_8, jnp.int32)
         from schroedinger_tpu.ops import quant as q
 
+        nvec = np.zeros(ncol, np.float32)
+        for bi, lo, hi in bounds:
+            nvec[bi] += hi - lo
+        nvecj = jnp.asarray(nvec)
+
         def run(allflat):
+            # arith-aware bit model (same as the fused P-step's stat
+            # tables): magnitude bits for nonzeros + first-order binary
+            # entropy of the band's zero/nonzero flags
             def one(base):
                 qq = q.quantise(allflat, QF[base], QO[base])
                 dq = q.dequantise(qq, QF[base], QO[base])
-                b = _sint_bits(qq).astype(jnp.float32)
-                e = jnp.square((allflat - dq).astype(jnp.float32))
+                nzm = (qq != 0).astype(jnp.float32)
+                b = (_sint_bits(qq).astype(jnp.float32) - 1.0) * nzm
+                # |orig - dequant|^magic_error_power (error_pow,
+                # schroquantiser.c:477-507; default 4) — the reference's
+                # lambda calibration assumes these units
+                e = jnp.abs((allflat - dq).astype(jnp.float32)) \
+                    ** jnp.float32(error_power)
                 bsum = [jnp.float32(0)] * ncol
                 esum = [jnp.float32(0)] * ncol
+                zsum = [jnp.float32(0)] * ncol
                 for bi, lo, hi in bounds:
                     bsum[bi] = bsum[bi] + b[lo:hi].sum()
                     esum[bi] = esum[bi] + e[lo:hi].sum()
-                return jnp.stack(bsum), jnp.stack(esum)
+                    zsum[bi] = zsum[bi] + nzm[lo:hi].sum()
+                return jnp.stack(bsum), jnp.stack(esum), jnp.stack(zsum)
 
-            return jax.lax.map(one, jnp.arange(61, dtype=jnp.int32))
+            mag, err, nz = jax.lax.map(one, jnp.arange(61, dtype=jnp.int32))
+            p1 = jnp.clip(nz / nvecj, 1e-6, 1.0 - 1e-6)
+            flag = -(nz * jnp.log2(p1) + (nvecj - nz) * jnp.log2(1.0 - p1))
+            return mag + flag, err
 
         fn = jax.jit(run)
         _STATS_CACHE[key] = fn
@@ -170,12 +189,15 @@ class ArithCorrection:
 
     def update(self, intra: bool, actual_bits, est_bits) -> None:
         """actual_bits/est_bits: (ncol,) per-(component, band) coded vs
-        estimated bits at the picked quant indices."""
+        estimated bits at the picked quant indices.  Ratios are clamped
+        to [0.5, 2]: the flag-entropy bit model keeps true ratios near 1,
+        and an unclamped transient (a band that was all-zero last frame)
+        would swing the RD pick's relative band costs wildly."""
         tab = self.get(intra)
         a = np.asarray(actual_bits, np.float64)
         e = np.asarray(est_bits, np.float64)
         ok = e > 200.0
-        tab[ok] = 0.9 * tab[ok] + 0.1 * (a[ok] / e[ok])
+        tab[ok] = np.clip(0.9 * tab[ok] + 0.1 * (a[ok] / e[ok]), 0.5, 2.0)
 
 
 class CbrController:
@@ -285,6 +307,17 @@ class CbrControllerTM5:
         self.scales = {"I": i_lambda_scale, "P": p_lambda_scale,
                        "B": b_lambda_scale}
         self.intra_cbr_lambda = None      # schroencoder.c:670 (-1)
+        # multiplicative base-lambda controller: the reference trusts the
+        # absolute qf->lambda calibration against ITS histogram estimate
+        # scale and lets the heavily-damped qf filter track slow drift
+        # (schroencoder.c:418-475); our exact power-p tables sit on a
+        # different absolute scale, so the base lambda itself adapts from
+        # measured subgroup spend (ratio^2, clamped 4x per update) while
+        # the SHARED-lambda principle — one quality level, per-kind
+        # scales, spend follows content complexity — stays exactly TM5's
+        self.base_lambda = float(np.exp(0.921034 * self.qf - 13.825))
+        self._sg_bits = 0.0
+        self._sg_frames = 0
         # initial allocations (init_rc_buffer, schroencoder.c:211-237;
         # the reference's `2 ^ 24` is XOR = 26, kept as intended 1<<24
         # since only the I:P:B ratio 9:3:1 matters before normalisation)
@@ -303,7 +336,7 @@ class CbrControllerTM5:
         self.correction = 1.0             # estimate EMA (unused by TM5)
 
     def frame_lambda(self, kind: str) -> float:
-        lam = float(np.exp(0.921034 * self.qf - 13.825))
+        lam = self.base_lambda
         if kind == "I":
             if self.intra_cbr_lambda is not None:
                 lam = float(np.sqrt(lam * self.intra_cbr_lambda))
@@ -378,8 +411,24 @@ class CbrControllerTM5:
         if num_bits < target / 2 or num_bits > 3 * target:
             emergency = True
 
+        self._sg_bits += num_bits
+        self._sg_frames += 1
         self.subgroup_position -= 1
         if self.subgroup_position == 0 or emergency:
+            # lambda controller: subgroup spend vs its pro-rata share of
+            # the (occupancy-adjusted) GOP target.  Measured locally
+            # bits ~ lambda^1 in the power-4 regime, so the correction is
+            # ratio^1, clamped to 2x per step (the pipeline applies new
+            # lambdas with ~1 subgroup of lag; a hotter gain hunts)
+            sg_target = (self.gop_target / self.gop_length
+                         * max(self._sg_frames, 1))
+            if self._sg_bits > 0 and sg_target > 0:
+                r = sg_target / self._sg_bits
+                self.base_lambda *= float(np.clip(np.sqrt(r), 0.6, 1.7))
+                self.base_lambda = float(np.clip(self.base_lambda,
+                                                 1e-9, 1e4))
+            self._sg_bits = 0.0
+            self._sg_frames = 0
             if (self.sg_len > 1
                     and self.subgroup_position < self.sg_len - 1):
                 done = self.sg_len - 1 - self.subgroup_position
@@ -534,8 +583,11 @@ class QuantiserEngine:
                  height: int = 0, band_scales=None):
         self.mode = mode
         self.lam = lam
-        noise_amp = 255.0 * (0.1 ** (noise_threshold * 0.05))
-        self.target_error = (noise_amp ** 2) * max(width * height, 1)
+        # reference-exact target (choose_quantisers_constant_error,
+        # schroquantiser.c:1101-1113): 255 * 10^(-nt/20) * W * H, used
+        # against the power-p error tables exactly as the reference does
+        self.target_error = (255.0 * (0.1 ** (noise_threshold * 0.05))
+                             * max(width * height, 1))
         self._stats = None
         self.band_scales = band_scales  # set by the GOP driver if None
 
