@@ -113,6 +113,14 @@ class GopEncoder:
         # value because it packs headers first, schroencoder.c:2532)
         self._oh_inter = None
         self._oh_intra = None
+        # retired references are parked here for a few more pictures
+        # instead of being freed immediately: deleting device buffers
+        # that queued-but-unexecuted pictures still read races the
+        # execution queue through the axon tunnel and crashes the TPU
+        # worker (reproducible at the first AU boundary of a pipelined
+        # biref encode)
+        from collections import deque as _deque
+        self._ref_graveyard = _deque(maxlen=8)
         self.perceptual_weighting = perceptual_weighting
         self.perceptual_distance = perceptual_distance
         self.open_gop = open_gop
@@ -391,6 +399,11 @@ class GopEncoder:
                 # engages from the 2nd P
                 out += self._finish_pending(pends.popleft())
                 qargs = self._quant_args("P", p)
+            if not ei_inter.p_step_is_cached(
+                    p, **self._step_variant_kw(True, qargs)):
+                # compile barrier (see _drain_if_compiling)
+                while pends:
+                    out += self._finish_pending(pends.popleft())
             keep = planes if (self.enable_psnr or self.enable_ssim) \
                 else None
             meta = (num, self.last_ref, self.prev_ref, sc, keep)
@@ -408,7 +421,8 @@ class GopEncoder:
             # the new recon/upsample device handles become the reference
             # immediately; XLA serialises the dependency on device
             if self.prev_ref is not None:
-                self.ref_frames.pop(self.prev_ref, None)
+                self._ref_graveyard.append(
+                    self.ref_frames.pop(self.prev_ref, None))
             self.ref_frames[num] = RefFrame(tuple(pending["recon"]),
                                             upsampled=pending["up"])
             self.prev_ref = self.last_ref
@@ -522,6 +536,34 @@ class GopEncoder:
             self._oh_inter = (oh if self._oh_inter is None
                               else 0.8 * self._oh_inter + 0.2 * oh)
 
+    def _step_variant_kw(self, want_recon: bool, qargs: dict) -> dict:
+        return dict(
+            n_extra=(ei_inter.N_PHASECORR_CANDS if self.enable_phasecorr
+                     else 0),
+            want_stats=bool(qargs.get("want_stats")),
+            want_recon=want_recon,
+            rdo_pick="lam_bands" in qargs,
+            me_levels=self.downsample_levels,
+            block_search_threshold=self.magic["block_search_threshold"],
+            scan_distance=self.magic["scan_distance"],
+            estimation=self.estimation,
+            error_power=self.magic["error_power"])
+
+    def _drain_if_compiling(self, p, want_recon: bool, qargs: dict) -> bytes:
+        """Drain the in-flight pipeline before dispatching a picture
+        variant whose fused step is not yet compiled: on the axon tunnel
+        a remote XLA compile issued while other executions are queued can
+        crash the TPU worker (observed reproducibly at 1080p biref)."""
+        if ei_inter.p_step_is_cached(p, **self._step_variant_kw(want_recon,
+                                                                qargs)):
+            return b""
+        out = bytearray()
+        if self._pends2:
+            while self._pends2:
+                out += self._finish_pending2(self._pends2.popleft())
+        return bytes(out)
+
+
     def _me_lam(self) -> float:
         """Mode-decision lambda (frame_me_lambda analog): tracks the
         newest finished frame's coarsest quant step (QF/8 SAD per bit)."""
@@ -577,7 +619,8 @@ class GopEncoder:
     def _retire_and_add(self, retire, fn: int):
         if retire is not None:
             self._refbuf.pop(retire, None)
-            self.ref_frames.pop(retire, None)
+            self._ref_graveyard.append(
+                self.ref_frames.pop(retire, None))
         self._refbuf[fn] = False
 
     def _encode_stream_biref(self, frames) -> bytes:
@@ -672,6 +715,8 @@ class GopEncoder:
             ref1 = None
         refs = [ref0] if ref1 is None else [ref0, ref1]
         p = self._params(len(refs))
+        qargs = self._quant_args("P", p)
+        out_pre = self._drain_if_compiling(p, True, qargs)
         pending = ei_inter.start_inter_picture(
             planes, p, self.ref_frames[ref0],
             base_qi=self.base_qi_inter,
@@ -682,7 +727,7 @@ class GopEncoder:
             scan_distance=self.magic["scan_distance"],
             estimation=self.estimation,
             error_power=self.magic["error_power"],
-            **self._quant_args("P", p))
+            **qargs)
         keep = planes if (self.enable_psnr or self.enable_ssim) else None
         meta = (num, refs, retire, True, "P", sc, keep)
         self.ref_frames[num] = RefFrame(tuple(pending["recon"]),
@@ -693,30 +738,33 @@ class GopEncoder:
             self._refbuf[self._enc_last_ref] = True
         self._enc_last_ref = num
         self._pends2.append((pending, meta))
-        return self._drain_pends2()
+        return out_pre + self._drain_pends2()
 
     def _start_b_biref(self, planes, num, sc) -> bytes:
         from schroedinger_tpu.encoder import inter as ei_inter
         ref0, ref1 = self._pick_refs(num)
         refs = [ref0, ref1]
         p = self._params(2)
+        qargs = self._quant_args("B", p)
+        want_rec = (self.enable_md5 or self.enable_psnr
+                    or self.enable_ssim)
+        out_pre = self._drain_if_compiling(p, want_rec, qargs)
         pending = ei_inter.start_inter_picture(
             planes, p, self.ref_frames[ref0],
             base_qi=self.base_qi_b,
             use_phasecorr=self.enable_phasecorr,
             ref2=self.ref_frames[ref1],
-            want_recon=(self.enable_md5 or self.enable_psnr
-                        or self.enable_ssim),
+            want_recon=want_rec,
             me_levels=self.downsample_levels,
             block_search_threshold=self.magic["block_search_threshold"],
             scan_distance=self.magic["scan_distance"],
             estimation=self.estimation,
             error_power=self.magic["error_power"],
-            **self._quant_args("B", p))
+            **qargs)
         keep = planes if (self.enable_psnr or self.enable_ssim) else None
         meta = (num, refs, None, False, "B", sc, keep)
         self._pends2.append((pending, meta))
-        return self._drain_pends2()
+        return out_pre + self._drain_pends2()
 
     def _drain_pends2(self) -> bytes:
         out = bytearray()
@@ -881,7 +929,8 @@ class GopEncoder:
                     units.append(pad_unit)
                 if manage_refs:
                     if self.prev_ref is not None:
-                        self.ref_frames.pop(self.prev_ref, None)
+                        self._ref_graveyard.append(
+                            self.ref_frames.pop(self.prev_ref, None))
                     self.prev_ref = self.last_ref
                     self.last_ref = num
                 self.ref_frames[num] = RefFrame(tuple(recon), upsampled=up)
@@ -997,7 +1046,8 @@ class GopEncoder:
 
         if manage_refs:
             if self.prev_ref is not None:
-                self.ref_frames.pop(self.prev_ref, None)
+                self._ref_graveyard.append(
+                    self.ref_frames.pop(self.prev_ref, None))
             self.prev_ref = self.last_ref
             self.last_ref = num
         self.ref_frames[num] = RefFrame(recon, upsampled=up)

@@ -587,6 +587,38 @@ _P_FIELD_ORDER = ("split", "pred_mode", "using_global", "dx1", "dy1",
                   "dx2", "dy2", "dc0", "dc1", "dc2")
 
 
+def _p_step_key(p, n_extra, want_stats, want_recon, rdo_pick, me_levels,
+                block_search_threshold, scan_distance, estimation,
+                error_power):
+    vf = p.video_format
+    return ("pstep",) + vf.picture_luma_size() + (p.transform_depth,
+            int(p.wavelet_filter_index), vf.chroma_format, p.mv_precision,
+            p.xbsep_luma, p.ybsep_luma, p.xblen_luma, p.yblen_luma, n_extra,
+            want_stats, p.num_refs, want_recon, rdo_pick, me_levels,
+            round(block_search_threshold * 16), round(scan_distance * 4),
+            tuple(sorted(estimation)), tuple(p.horiz_codeblocks),
+            tuple(p.vert_codeblocks), p.codeblock_mode_index,
+            round(error_power * 16))
+
+
+def p_step_is_cached(p: Params, n_extra: int = 0, want_stats: bool = False,
+                     want_recon: bool = True, rdo_pick: bool = False,
+                     me_levels: int = 5,
+                     block_search_threshold: float = 15.0,
+                     scan_distance: float = 4.0, estimation: tuple = (),
+                     error_power: float = 4.0) -> bool:
+    """True when this picture-variant's fused step is already built.
+
+    First use of a variant triggers XLA compiles; on the axon tunnel a
+    remote compile issued while other executions are in flight can crash
+    the TPU worker, so pipelined drivers drain their pending pictures
+    before dispatching a to-be-compiled variant (gop.py does exactly
+    this)."""
+    return _p_step_key(p, n_extra, want_stats, want_recon, rdo_pick,
+                       me_levels, block_search_threshold, scan_distance,
+                       tuple(estimation), error_power) in _ME_CACHE
+
+
 def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                 want_recon: bool = True, rdo_pick: bool = False,
                 me_levels: int = 5, block_search_threshold: float = 15.0,
@@ -610,14 +642,9 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
     """
     vf = p.video_format
     num_refs = p.num_refs
-    key = ("pstep",) + vf.picture_luma_size() + (p.transform_depth,
-           int(p.wavelet_filter_index), vf.chroma_format, p.mv_precision,
-           p.xbsep_luma, p.ybsep_luma, p.xblen_luma, p.yblen_luma, n_extra,
-           want_stats, num_refs, want_recon, rdo_pick, me_levels,
-           round(block_search_threshold * 16), round(scan_distance * 4),
-           tuple(sorted(estimation)), tuple(p.horiz_codeblocks),
-           tuple(p.vert_codeblocks), p.codeblock_mode_index,
-           round(error_power * 16))
+    key = _p_step_key(p, n_extra, want_stats, want_recon, rdo_pick,
+                      me_levels, block_search_threshold, scan_distance,
+                      estimation, error_power)
     hit = _ME_CACHE.get(key)
     if hit is not None:
         return hit
@@ -740,14 +767,22 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
     rd_margin = me_mod.ME_BOUND_PEL + 16
     pad_h, pad_w = p.ybsep_luma * ynb, p.xbsep_luma * xnb
 
-    def step(packed, *args):
-        # with rdo_pick the quant-selection input is (lam_bands, me_lam)
-        # instead of explicit per-band quant indices: the per-band RD
-        # argmin runs on device against THIS frame's exact stat tables
-        # (the reference's current-frame estimate tables +
-        # choose_quantisers_rdo_cbr, schroquantiser.c:772-780 — only the
-        # TM5 qf/lambda is serialized across pictures)
-        n_qsel = 4 if rdo_pick else 1
+    n_qsel = 4 if rdo_pick else 1
+
+    def front(packed, *args):
+        # ME + RD split/mode + OBMC render + forward IWT: the first of
+        # TWO separately-jitted programs per picture.  The monolithic
+        # 2-ref program's XLA compile exceeded the axon tunnel's remote
+        # compile deadline at 1080p (ABORTED mid-compile); splitting at
+        # the residual-transform boundary keeps each program's compile
+        # well under it, with the handoff staying on device.
+        #
+        # With rdo_pick the quant-selection input is (lam_bands, me_lam,
+        # target_bits, corr_bands); the per-band RD argmin runs in
+        # `back` against THIS frame's exact stat tables (the reference's
+        # current-frame estimate tables + choose_quantisers_rdo_cbr,
+        # schroquantiser.c:772-780 — only the TM5 lambda is serialized
+        # across pictures).
         if num_refs == 1:
             ref_y, up_y, up_u, up_v = args[:4]
             qsel = args[4:4 + n_qsel]
@@ -837,6 +872,22 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
             pyr = wv.forward(res, depth, wavelet)
             flat, _ = sl.flatten_pyramid(pyr, depth)
             rc_flat.append(flat)
+
+        f16 = jnp.stack([fields[k].astype(jnp.int16)
+                         for k in _P_FIELD_ORDER])
+        return tuple(rc_flat) + tuple(preds) + (f16, badblock)
+
+    def back(fy, fu, fv, py, pu, pv, f16, badblock, *qsel):
+        # stats + RD pick + quantise + reconstruction + wire packing
+        # (second jitted program; consumes front's device-resident
+        # outputs)
+        if rdo_pick:
+            lam_bands, me_lam, target_bits, corr_bands = qsel
+            qi_bands = None
+        else:
+            qi_bands = qsel[0]
+        rc_flat = [fy, fu, fv]
+        preds = (py, pu, pv)
 
         if want_stats or rdo_pick:
             # 61-way per-(component, subband) (bits, sq-error) estimates,
@@ -1028,8 +1079,6 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                        + pred.astype(jnp.int32) + 128)
                 outr.append(jnp.clip(rec, 0, 255).astype(jnp.uint8))
 
-        f16 = jnp.stack([fields[k].astype(jnp.int16)
-                         for k in _P_FIELD_ORDER])
         fbytes = jax.lax.bitcast_convert_type(f16, jnp.uint8).reshape(-1)
         rcb = jax.lax.bitcast_convert_type(
             jnp.stack([rc_bits, rc_err]), jnp.uint8).reshape(-1)
@@ -1051,14 +1100,136 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
         wire = jnp.concatenate(parts + [lob, hib, ovfb])
         return (wire,) + tuple(outq) + tuple(outr)
 
+    qsel_lo = 4 if num_refs == 1 else 8
+
+    def raw_step(packed, *args):
+        fouts = front(packed, *args)
+        return back(*fouts, *args[qsel_lo:qsel_lo + n_qsel])
+
+    back_j = jax.jit(back)
+
+    # first-call stage synchronisation: a remote XLA compile issued while
+    # other work is executing can crash the axon TPU worker, so the first
+    # invocation of each staged program waits for its inputs (the only
+    # possible in-flight producers after the caller's compile barrier)
+    # and then runs synchronously; warm calls dispatch fully async.
+    _compiled = set()
+
+    def _call_stage(fn, tag, *args):
+        if tag in _compiled:
+            return fn(*args)
+        jax.block_until_ready(
+            [a for a in args if hasattr(a, "block_until_ready")])
+        outs = fn(*args)
+        jax.block_until_ready(outs)
+        _compiled.add(tag)
+        return outs
+
+    if num_refs == 1:
+        front_j = jax.jit(front)
+
+        def stepfn(*a):
+            fouts = _call_stage(front_j, "front", *a)
+            return _call_stage(back_j, "back", *fouts,
+                               *a[1 + qsel_lo:1 + qsel_lo + n_qsel])
+    else:
+        # the 2-ref picture splits further: one shared ME+subpel program
+        # (run once per reference) and a mid program (RD split + render +
+        # forward IWT).  The combined two-ME front faulted the TPU
+        # backend at 1080p on real data (each piece runs clean alone);
+        # staging also keeps every program's remote compile short.
+        def unpack3(packed):
+            (wy_pic, hy_pic) = pic_sizes[0]
+            (wc_pic, hc_pic) = pic_sizes[1]
+            ny = hy_pic * wy_pic
+            nc = hc_pic * wc_pic
+            return (packed[:ny].reshape(hy_pic, wy_pic),
+                    packed[ny:ny + nc].reshape(hc_pic, wc_pic),
+                    packed[ny + nc:ny + 2 * nc].reshape(hc_pic, wc_pic))
+
+        def me_stage(packed, ref_y, up_y, up_u, up_v, *maybe_extra):
+            y, u, v = unpack3(packed)
+            extra = maybe_extra[0] if n_extra else None
+            cpl = ((u, v, up_u[::2, ::2], up_v[::2, ::2])
+                   if chroma_geom is not None else None)
+            dy, dx, sad = me_body(y, ref_y, extra, cpl)
+            if subpel_body is not None:
+                dy, dx, sad = subpel_body(y, up_y, dy, dx)
+            elif p.mv_precision > 0:
+                dy = dy << p.mv_precision
+                dx = dx << p.mv_precision
+            return dy, dx, sad
+
+        def mid2(packed, ref_y, up_y, up_u, up_v,
+                 ref2_y, up2_y, up2_u, up2_v,
+                 dy, dx, sad_mc, dy2, dx2, sad2, *qsel):
+            y, u, v = unpack3(packed)
+            if rdo_pick:
+                lam = qsel[1].astype(jnp.float32)
+            else:
+                lam = QF[jnp.max(qsel[0][:nb])].astype(jnp.float32) / 8.0
+            sad_dc, mean_y = _dc_stats(y, p.ybsep_luma, p.xbsep_luma,
+                                       ynb, xnb)
+            mean_u = _block_means(u, None, p.ybsep_luma >> v_shift,
+                                  p.xbsep_luma >> h_shift, ynb, xnb)
+            mean_v = _block_means(v, None, p.ybsep_luma >> v_shift,
+                                  p.xbsep_luma >> h_shift, ynb, xnb)
+            cpad = jnp.pad(y, ((0, pad_h - y.shape[0]),
+                               (0, pad_w - y.shape[1])),
+                           mode="edge").astype(jnp.int32)
+
+            def padref(r):
+                h, w = r.shape
+                rp = jnp.pad(r, ((0, pad_h - h), (0, pad_w - w)),
+                             mode="edge")
+                return jnp.pad(rp, ((rd_margin, rd_margin),
+                                    (rd_margin, rd_margin)), mode="edge")
+
+            fields = rd_split_body(cpad, padref(ref_y), padref(ref2_y),
+                                   dy, dx, sad_mc, dy2, dx2, sad2,
+                                   sad_dc, mean_y, mean_u, mean_v, lam)
+            bb_thr = jnp.int32(int(block_search_threshold
+                                   * p.xbsep_luma * p.ybsep_luma))
+            best_pred = jnp.minimum(jnp.minimum(sad_mc, sad_dc), sad2)
+            badblock = jnp.mean((best_pred > bb_thr).astype(jnp.float32))
+            preds = render_body(fields, (up_y, up_u, up_v),
+                                (up2_y, up2_u, up2_v))
+            rc_flat = []
+            for plane, pred, (oh, ow) in zip((y, u, v), preds, iwt_dims):
+                h, w = plane.shape
+                res = (plane.astype(jnp.int16) - 128
+                       - pred.astype(jnp.int16))
+                res = jnp.pad(res, ((0, oh - h), (0, ow - w)))
+                pyr = wv.forward(res, depth, wavelet)
+                flat, _ = sl.flatten_pyramid(pyr, depth)
+                rc_flat.append(flat)
+            f16 = jnp.stack([fields[k].astype(jnp.int16)
+                             for k in _P_FIELD_ORDER])
+            return tuple(rc_flat) + tuple(preds) + (f16, badblock)
+
+        me_j = jax.jit(me_stage)
+        mid_j = jax.jit(mid2)
+
+        def stepfn(*a):
+            packed = a[0]
+            refargs = a[1:9]
+            qsel = a[9:9 + n_qsel]
+            extra = a[9 + n_qsel:]
+            me1 = _call_stage(me_j, "me", packed, a[1], a[2], a[3], a[4],
+                              *extra)
+            me2 = me_j(packed, a[5], a[6], a[7], a[8], *extra)
+            fouts = _call_stage(mid_j, "mid", packed, *refargs, *me1,
+                                *me2, *qsel)
+            return _call_stage(back_j, "back", *fouts, *qsel)
+
     layout = {
         "n_fields": n_fields, "yb": ynb, "xb": xnb, "nb": nb,
         "sizes_lo": sizes_lo, "sizes_hi": sizes_hi,
         "mq": [(ci, bi, vcb, hcb)
                for (ci, bi, vcb, hcb, _o, _h, _w, _m) in mq_bands],
-        "raw_step": step,  # unjitted body for shard_map composition
+        "raw_step": raw_step,  # unjitted body for shard_map composition
     }
-    fns = (jax.jit(step), shapes3, layout)
+    fns = (stepfn, shapes3, layout)
     _ME_CACHE[key] = fns
     return fns
 
