@@ -162,13 +162,13 @@ def bench_oracle(frames, bitrate=BITRATE, tag="oracle"):
 def bench_decode(stream, n_frames):
     """Decode the SAME stream with our StreamDecoder (TPU) and the oracle
     (single core); returns (ours_fps, oracle_fps)."""
-    from schroedinger_tpu.decoder.core import StreamDecoder
+    from schroedinger_tpu.decoder.pipeline import PipelinedStreamDecoder
     from oracle import schro_oracle as so
     t0 = time.perf_counter()
-    StreamDecoder().decode_stream(stream)        # compile warmup
+    PipelinedStreamDecoder().decode_stream(stream)   # compile warmup
     log(f"decode warmup (incl compile): {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
-    out = StreamDecoder().decode_stream(stream)
+    out = PipelinedStreamDecoder().decode_stream(stream)
     dt_ours = time.perf_counter() - t0
     assert len(out) == n_frames, (len(out), n_frames)
     t0 = time.perf_counter()

@@ -1120,10 +1120,24 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
             return fn(*args)
         jax.block_until_ready(
             [a for a in args if hasattr(a, "block_until_ready")])
-        outs = fn(*args)
-        jax.block_until_ready(outs)
-        _compiled.add(tag)
-        return outs
+        last = None
+        for attempt in range(3):
+            try:
+                outs = fn(*args)
+                jax.block_until_ready(outs)
+                _compiled.add(tag)
+                return outs
+            except jax.errors.JaxRuntimeError as e:
+                # the axon tunnel's remote compile occasionally drops the
+                # HTTP response mid-body; the compile itself is retryable
+                # (the relay caches finished compiles, so a retry is cheap
+                # when the first attempt actually completed server-side)
+                if "remote_compile" not in str(e) or attempt == 2:
+                    raise
+                last = e
+                import time as _time
+                _time.sleep(2.0 * (attempt + 1))
+        raise last
 
     if num_refs == 1:
         front_j = jax.jit(front)
