@@ -27,8 +27,15 @@ def main():
                      clean_width=bench.W, clean_height=bench.H,
                      chroma_format=ChromaFormat.C420,
                      frame_rate_numerator=25, frame_rate_denominator=1)
-    g = GopEncoder(vf, gop_length=24, mv_precision=2,
-                   bitrate=8000000, fps=25, gop_structure="biref")
+    def mk():
+        return GopEncoder(vf, gop_length=24, mv_precision=2,
+                          bitrate=8000000, fps=25, gop_structure="biref")
+
+    if os.environ.get("REPRO_WARMUP"):
+        t0 = time.perf_counter()
+        mk().encode_stream(frames[:2])
+        log(f"warmup instance done: {time.perf_counter() - t0:.1f}s")
+    g = mk()
     out = bytearray()
     for i, f in enumerate(frames):
         t0 = time.perf_counter()
