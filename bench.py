@@ -3,32 +3,39 @@
 BASELINE.md north-star config 3 ("Dirac long-GOP 1080p25, hier-BM + OBMC,
 GOP=24, CBR": >=3x reference single-core frames/s per chip AT FIXED PSNR).
 Both encoders run CBR at the same bitrate with the same GOP structure
-(backref, GOP 24) on the same content; the JSON line reports our
+(tworef/BBBP: ours "biref", oracle "adaptive", the reference default,
+schroencoder.c:599-604) on the same content; the JSON line reports our
 steady-state frames/s, the fps ratio, and the decoded PSNR of both
 streams so the speedup is a fixed-quality claim (the reference's own
 methodology, misc/benchenc:27-30, pinned to one core via SCHRO_THREADS=1).
 
-Legs (all in the one JSON line):
+Legs — each runs in its OWN subprocess (fresh TPU backend), partial
+results are written to BENCH_partial.json after every leg, and the
+headline leg logs per-frame progress, so one worker crash loses one leg,
+not the whole evidence set (round-4 lesson):
   - headline: pan+noise clip encode, ours vs oracle (value/vs_baseline)
   - equal-bytes PSNR: whenever the byte spend differs by >2% in either
     direction, ours re-runs CBR at the oracle's achieved rate so
     psnr_ours_at_ref_bytes_db is a true matched-spend comparison
   - content sweep: zoom+rotation (breaks translational ME) and scene-cut
     (exercises GOP cut under CBR) clips, fps+PSNR both sides
-  - decode: our StreamDecoder vs oracle single-core decoding the SAME
-    stream (the reference ships decode benches, misc/benchdec:1-30)
+  - decode: our PipelinedStreamDecoder vs oracle single-core decoding
+    the SAME stream (the reference ships decode benches, misc/benchdec)
 
 Prints ONE JSON line:
   {"metric", "value", "unit", "vs_baseline", ...diagnostics}
 """
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 os.environ.setdefault("SCHRO_THREADS", "1")   # oracle single core
 
 W, H = 1920, 1080
@@ -38,6 +45,7 @@ BITRATE = int(os.environ.get("BENCH_BITRATE", "8000000"))
 GOP = 24
 FPS = 25
 SKIP_EXTRA = os.environ.get("BENCH_SKIP_EXTRA", "") not in ("", "0")
+LEG_TIMEOUT = int(os.environ.get("BENCH_LEG_TIMEOUT", "5400"))
 
 
 def log(msg):
@@ -112,7 +120,8 @@ def mean_psnr(decoded, frames):
     return float(np.mean(vals))
 
 
-def bench_ours(frames, bitrate=BITRATE, warmup=True, tag="ours"):
+def bench_ours(frames, bitrate=BITRATE, warmup=True, tag="ours",
+               per_frame=False):
     from schroedinger_tpu.encoder.gop import GopEncoder
     from schroedinger_tpu.video_format import ChromaFormat, VideoFormat
 
@@ -132,9 +141,18 @@ def bench_ours(frames, bitrate=BITRATE, warmup=True, tag="ours"):
         enc().encode_stream(frames[:2])   # compile warm-up (intra + P step)
         log(f"warmup (incl compile): {time.perf_counter() - t0:.1f}s")
     g = enc()
-    t0 = time.perf_counter()
-    out = g.encode_stream(frames)
-    dt = time.perf_counter() - t0
+    t_start = time.perf_counter()
+    tprev = [t_start]
+
+    def prog(i, nbytes):
+        t = time.perf_counter()
+        if per_frame:
+            log(f"  [{tag}] frame {i}: {t - tprev[0]:.2f}s, "
+                f"{nbytes} bytes total")
+        tprev[0] = t
+
+    out = g.encode_stream(frames, progress=prog)
+    dt = time.perf_counter() - t_start
     log(f"{tag} long-GOP CBR@{bitrate}: {len(frames)/dt:.3f} fps "
         f"({dt/len(frames)*1000:.0f} ms/frame), {len(out)} bytes")
     return len(frames) / dt, out
@@ -160,8 +178,8 @@ def bench_oracle(frames, bitrate=BITRATE, tag="oracle"):
 
 
 def bench_decode(stream, n_frames):
-    """Decode the SAME stream with our StreamDecoder (TPU) and the oracle
-    (single core); returns (ours_fps, oracle_fps)."""
+    """Decode the SAME stream with our PipelinedStreamDecoder (TPU) and
+    the oracle (single core); returns (ours_fps, oracle_fps)."""
     from schroedinger_tpu.decoder.pipeline import PipelinedStreamDecoder
     from oracle import schro_oracle as so
     t0 = time.perf_counter()
@@ -179,93 +197,150 @@ def bench_decode(stream, n_frames):
     return n_frames / dt_ours, n_frames / dt_ref
 
 
-def content_leg(name, frames, diags):
-    """Encode a content class both sides at BITRATE; record fps + PSNR."""
-    from oracle import schro_oracle as so
+# ---------------------------------------------------------------- legs
+
+def leg_headline(tmp):
+    frames = make_frames(N_FRAMES)
+    res = {}
+    ours_fps, ours_stream = bench_ours(frames, per_frame=True)
+    with open(os.path.join(tmp, "ours.drc"), "wb") as f:
+        f.write(ours_stream)
+    res["value"] = round(ours_fps, 3)
+    res["bytes_ours"] = len(ours_stream)
     try:
-        fps_o, st_o = bench_ours(frames, warmup=False, tag=f"ours-{name}")
-        fps_r, st_r = bench_oracle(frames, tag=f"oracle-{name}")
-        diags[f"{name}_fps_ours"] = round(fps_o, 3)
-        diags[f"{name}_fps_ref"] = round(fps_r, 3)
-        diags[f"{name}_vs"] = round(fps_o / fps_r, 3)
-        diags[f"{name}_psnr_ours_db"] = round(
-            mean_psnr(so.decode(st_o, W, H), frames), 2)
-        diags[f"{name}_psnr_ref_db"] = round(
-            mean_psnr(so.decode(st_r, W, H), frames), 2)
-        diags[f"{name}_bytes_ours"] = len(st_o)
-        diags[f"{name}_bytes_ref"] = len(st_r)
+        ref_fps, ref_stream = bench_oracle(frames)
+        with open(os.path.join(tmp, "ref.drc"), "wb") as f:
+            f.write(ref_stream)
+        res["vs_baseline"] = round(ours_fps / ref_fps, 3)
+        res["bytes_ref"] = len(ref_stream)
     except Exception as e:
-        log(f"{name} leg failed: {e!r}")
-        diags[f"{name}_error"] = repr(e)
+        log(f"oracle failed: {e!r}")
+        res["vs_baseline"] = None
+        res["bytes_ref"] = 0
+        ref_stream = b""
+    try:
+        from oracle import schro_oracle as so
+        res["psnr_ours_db"] = round(
+            mean_psnr(so.decode(ours_stream, W, H), frames), 2)
+        if ref_stream:
+            res["psnr_ref_db"] = round(
+                mean_psnr(so.decode(ref_stream, W, H), frames), 2)
+        log(f"PSNR ours {res.get('psnr_ours_db')} dB / "
+            f"oracle {res.get('psnr_ref_db')} dB; bytes "
+            f"{len(ours_stream)} / {len(ref_stream)}")
+    except Exception as e:
+        log(f"psnr check failed: {e!r}")
+    return res
+
+
+def leg_matched(tmp):
+    """Equal-bytes quality: re-run ours CBR at the oracle's achieved
+    rate (only dispatched by the orchestrator when spends differ >2%)."""
+    ref_bytes = os.path.getsize(os.path.join(tmp, "ref.drc"))
+    frames = make_frames(N_FRAMES)
+    matched_rate = int(ref_bytes * 8 * FPS / N_FRAMES)
+    _, matched = bench_ours(frames, bitrate=matched_rate,
+                            tag="ours-matched", per_frame=True)
+    from oracle import schro_oracle as so
+    psnr = round(mean_psnr(so.decode(matched, W, H), frames), 2)
+    log(f"equal-bytes: ours {psnr} dB @{len(matched)}B vs oracle "
+        f"@{ref_bytes}B")
+    return {"psnr_ours_at_ref_bytes_db": psnr,
+            "bytes_ours_matched": len(matched)}
+
+
+def _content_leg(name, frames):
+    from oracle import schro_oracle as so
+    res = {}
+    fps_o, st_o = bench_ours(frames, tag=f"ours-{name}", per_frame=True)
+    fps_r, st_r = bench_oracle(frames, tag=f"oracle-{name}")
+    res[f"{name}_fps_ours"] = round(fps_o, 3)
+    res[f"{name}_fps_ref"] = round(fps_r, 3)
+    res[f"{name}_vs"] = round(fps_o / fps_r, 3)
+    res[f"{name}_psnr_ours_db"] = round(
+        mean_psnr(so.decode(st_o, W, H), frames), 2)
+    res[f"{name}_psnr_ref_db"] = round(
+        mean_psnr(so.decode(st_r, W, H), frames), 2)
+    res[f"{name}_bytes_ours"] = len(st_o)
+    res[f"{name}_bytes_ref"] = len(st_r)
+    return res
+
+
+def leg_zoomrot(tmp):
+    return _content_leg("zoomrot", make_frames_zoomrot(N_FRAMES_EXTRA))
+
+
+def leg_scenecut(tmp):
+    return _content_leg("scenecut", make_frames_scenecut(N_FRAMES_EXTRA))
+
+
+def leg_decode(tmp):
+    with open(os.path.join(tmp, "ours.drc"), "rb") as f:
+        stream = f.read()
+    dec_ours, dec_ref = bench_decode(stream, N_FRAMES)
+    return {"decode_fps_ours": round(dec_ours, 3),
+            "decode_fps_ref": round(dec_ref, 3),
+            "decode_vs": round(dec_ours / dec_ref, 3)}
+
+
+LEGS = {"headline": leg_headline, "matched": leg_matched,
+        "zoomrot": leg_zoomrot, "scenecut": leg_scenecut,
+        "decode": leg_decode}
+
+
+def run_leg_subprocess(name, tmp, result):
+    """Run one leg in a fresh process (fresh TPU backend: a worker crash
+    in one leg cannot poison the next) and merge its JSON fragment."""
+    env = dict(os.environ)
+    env["BENCH_LEG"] = name
+    env["BENCH_TMP"] = tmp
+    t0 = time.perf_counter()
+    try:
+        pr = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                            env=env, stdout=subprocess.PIPE,
+                            timeout=LEG_TIMEOUT)
+        frag = None
+        for line in pr.stdout.decode().splitlines():
+            if line.startswith("LEGRESULT "):
+                frag = json.loads(line[len("LEGRESULT "):])
+        if pr.returncode != 0 or frag is None:
+            result[f"{name}_error"] = f"rc={pr.returncode}"
+            log(f"leg {name} FAILED rc={pr.returncode}")
+        else:
+            result.update(frag)
+            log(f"leg {name} ok ({time.perf_counter() - t0:.0f}s)")
+    except subprocess.TimeoutExpired:
+        result[f"{name}_error"] = f"timeout {LEG_TIMEOUT}s"
+        log(f"leg {name} TIMED OUT")
+    # partial capture after every leg: a later crash keeps earlier legs
+    with open(os.path.join(REPO, "BENCH_partial.json"), "w") as f:
+        json.dump(result, f)
 
 
 def main():
-    frames = make_frames(N_FRAMES)
-    ours_fps, ours_stream = bench_ours(frames)
-    try:
-        ref_fps, ref_stream = bench_oracle(frames)
-    except Exception as e:
-        log(f"oracle failed: {e!r}")
-        ref_fps, ref_stream = float("nan"), b""
+    leg = os.environ.get("BENCH_LEG")
+    if leg:
+        frag = LEGS[leg](os.environ["BENCH_TMP"])
+        print("LEGRESULT " + json.dumps(frag), flush=True)
+        return
 
-    psnr_ours = psnr_ref = psnr_matched = None
-    bytes_matched = 0
-    try:
-        from oracle import schro_oracle as so
-        psnr_ours = round(mean_psnr(so.decode(ours_stream, W, H), frames), 2)
-        if ref_stream:
-            psnr_ref = round(mean_psnr(so.decode(ref_stream, W, H),
-                                       frames), 2)
-        log(f"PSNR ours {psnr_ours} dB / oracle {psnr_ref} dB; "
-            f"bytes ours {len(ours_stream)} / oracle {len(ref_stream)}")
-        if ref_stream and abs(len(ours_stream) - len(ref_stream)) \
-                > 0.02 * len(ref_stream):
-            # equal-bytes quality check, BOTH directions (under- or
-            # over-spend >2%): re-run ours CBR at the oracle's achieved
-            # rate so the PSNR comparison is at matched spend
-            matched_rate = int(len(ref_stream) * 8 * FPS / N_FRAMES)
-            _, matched = bench_ours(frames, bitrate=matched_rate,
-                                    warmup=False, tag="ours-matched")
-            bytes_matched = len(matched)
-            psnr_matched = round(mean_psnr(so.decode(matched, W, H),
-                                           frames), 2)
-            log(f"equal-bytes: ours {psnr_matched} dB @{bytes_matched}B "
-                f"vs oracle {psnr_ref} dB @{len(ref_stream)}B")
-        else:
-            psnr_matched = psnr_ours
-            bytes_matched = len(ours_stream)
-    except Exception as e:
-        log(f"psnr check failed: {e!r}")
-
-    diags = {}
+    tmp = tempfile.mkdtemp(prefix="bench_")
+    result = {"metric": "longgop_1080p_cbr_encode", "value": None,
+              "unit": "frames/s", "vs_baseline": None,
+              "bitrate": BITRATE, "n_frames": N_FRAMES}
+    run_leg_subprocess("headline", tmp, result)
+    bo, br = result.get("bytes_ours"), result.get("bytes_ref")
+    if bo and br and abs(bo - br) > 0.02 * br:
+        run_leg_subprocess("matched", tmp, result)
+    elif bo and br:
+        result["psnr_ours_at_ref_bytes_db"] = result.get("psnr_ours_db")
+        result["bytes_ours_matched"] = bo
     if not SKIP_EXTRA:
-        content_leg("zoomrot", make_frames_zoomrot(N_FRAMES_EXTRA), diags)
-        content_leg("scenecut", make_frames_scenecut(N_FRAMES_EXTRA), diags)
-        try:
-            dec_ours, dec_ref = bench_decode(ours_stream, N_FRAMES)
-            diags["decode_fps_ours"] = round(dec_ours, 3)
-            diags["decode_fps_ref"] = round(dec_ref, 3)
-            diags["decode_vs"] = round(dec_ours / dec_ref, 3)
-        except Exception as e:
-            log(f"decode leg failed: {e!r}")
-            diags["decode_error"] = repr(e)
-
-    print(json.dumps({
-        "metric": "longgop_1080p_cbr_encode",
-        "value": round(ours_fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": (round(ours_fps / ref_fps, 3)
-                        if ref_fps == ref_fps else None),
-        "psnr_ours_db": psnr_ours,
-        "psnr_ref_db": psnr_ref,
-        "psnr_ours_at_ref_bytes_db": psnr_matched,
-        "bytes_ours": len(ours_stream),
-        "bytes_ref": len(ref_stream),
-        "bytes_ours_matched": bytes_matched,
-        "bitrate": BITRATE,
-        "n_frames": N_FRAMES,
-        **diags,
-    }))
+        run_leg_subprocess("zoomrot", tmp, result)
+        run_leg_subprocess("scenecut", tmp, result)
+        if os.path.exists(os.path.join(tmp, "ours.drc")):
+            run_leg_subprocess("decode", tmp, result)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

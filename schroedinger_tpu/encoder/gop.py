@@ -350,7 +350,7 @@ class GopEncoder:
                 out += self._finish_pending2(self._pends2.popleft())
         return bytes(out)
 
-    def encode_stream(self, frames) -> bytes:
+    def encode_stream(self, frames, progress=None) -> bytes:
         """Encode a sequence with device/host pipelining: the fused P-step
         of frame N+1 is dispatched (XLA queues it asynchronously) before the
         host entropy coding of frame N runs, so TPU compute and C++ arith
@@ -363,7 +363,7 @@ class GopEncoder:
         exactly the same state).  constant_error keeps a lagged host pick."""
         from schroedinger_tpu.encoder import inter as ei_inter
         if self.gop_structure == "biref":
-            return self._encode_stream_biref(frames)
+            return self._encode_stream_biref(frames, progress)
         frames = (self._prefilter(f) for f in frames)
         if self.field_factor == 2:
             from schroedinger_tpu import frontends as ff
@@ -431,6 +431,8 @@ class GopEncoder:
             pends.append((pending, meta))
             if len(pends) > depth:
                 out += self._finish_pending(pends.popleft())
+            if progress is not None:
+                progress(num, len(out))
         while pends:
             out += self._finish_pending(pends.popleft())
         out += self._chain.add([bs.make_eos_unit()], final_eos=True)
@@ -623,10 +625,12 @@ class GopEncoder:
                 self.ref_frames.pop(retire, None))
         self._refbuf[fn] = False
 
-    def _encode_stream_biref(self, frames) -> bytes:
+    def _encode_stream_biref(self, frames, progress=None) -> bytes:
         out = bytearray()
-        for planes in frames:
+        for i, planes in enumerate(frames):
             out += self.encode_frame(planes)
+            if progress is not None:
+                progress(i, len(out))
         out += self.flush()
         out += self._chain.add([bs.make_eos_unit()], final_eos=True)
         return bytes(out)
@@ -893,10 +897,12 @@ class GopEncoder:
                                 * self.magic["I_lambda_scale"])
             elif self.rc is not None and hasattr(self.rc, "frame_lambda"):
                 intra_lambda = self.rc.frame_lambda("I")
+            from schroedinger_tpu.utils import toggles as _toggles
             use_fused = (intra_lambda is not None
                          and self.vf.bit_depth == 8
                          and not self.enable_noarith
-                         and p.codeblock_mode_index == 0)
+                         and p.codeblock_mode_index == 0
+                         and not _toggles.disabled("fused_intra"))
             if use_fused:
                 # fused intra path: one device dispatch + one wire fetch
                 # (transform, stats, on-device RD pick, quantise), host

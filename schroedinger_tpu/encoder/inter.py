@@ -14,6 +14,8 @@ Per-picture flow:
 """
 from __future__ import annotations
 
+import sys
+import time
 from functools import partial
 from typing import Optional, Tuple
 
@@ -32,6 +34,7 @@ from schroedinger_tpu.encoder import me as me_mod
 from schroedinger_tpu.encoder.lowdelay import _forward_jit
 from schroedinger_tpu import tables
 from schroedinger_tpu.ops import obmc
+from schroedinger_tpu.utils import toggles as _toggles
 from schroedinger_tpu.params import Params, subband_count, subband_position
 
 try:
@@ -586,6 +589,27 @@ def make_rd_split_body2(p: Params, granularities: bool = True):
 _P_FIELD_ORDER = ("split", "pred_mode", "using_global", "dx1", "dy1",
                   "dx2", "dy2", "dc0", "dc1", "dc2")
 
+# Tunnel failure wordings observed to be retryable (a dropped response to
+# a compile RPC, not a dead worker).  "TPU worker process crashed" is
+# deliberately NOT here: a crashed worker needs backend re-creation, a
+# retry of the same dispatch can't succeed.
+_TRANSIENT_TUNNEL_SUBSTRINGS = ("remote_compile", "DEADLINE_EXCEEDED",
+                                "Deadline Exceeded", "Connection reset",
+                                "Socket closed")
+
+
+def _is_transient_tunnel_error(e: Exception) -> bool:
+    msg = str(e)
+    return any(s in msg for s in _TRANSIENT_TUNNEL_SUBSTRINGS)
+
+
+def _log_stage_retry(tag: str, attempt: int, e: Exception) -> None:
+    """Surface what was caught so non-matching transient failures are
+    visible and the substring filter can be tuned (advisor r4)."""
+    print(f"schroedinger_tpu: retrying stage {tag!r} "
+          f"(attempt {attempt + 1}) after transient tunnel error: "
+          f"{str(e).splitlines()[0][:200]}", file=sys.stderr, flush=True)
+
 
 def _p_step_key(p, n_extra, want_stats, want_recon, rdo_pick, me_levels,
                 block_search_threshold, scan_distance, estimation,
@@ -923,13 +947,19 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                 qqq = q.quantise(allflat, QF[base], QO[base])
                 dqq = q.dequantise(qqq, QF[base], QO[base])
                 nzm = (qqq != 0).astype(jnp.float32)
-                b = (_sint_bits(qqq).astype(jnp.float32) - 1.0) * nzm
+                if _toggles.disabled("flag_entropy"):
+                    b = _sint_bits(qqq).astype(jnp.float32)
+                else:
+                    b = (_sint_bits(qqq).astype(jnp.float32) - 1.0) * nzm
                 # reference error metric: |orig - dequant|^magic_error_power
                 # (error_pow, schroquantiser.c:477-507; default power 4) —
                 # the lambda calibration (qf mapping, P/B scales, subband0
                 # scale) is tuned against THESE units
                 ad = jnp.abs((allflat - dqq).astype(jnp.float32))
-                e = ad ** jnp.float32(error_power)
+                if _toggles.disabled("error_power"):
+                    e = jnp.square(ad)
+                else:
+                    e = ad ** jnp.float32(error_power)
                 bsum = [jnp.float32(0)] * (3 * nb)
                 esum = [jnp.float32(0)] * (3 * nb)
                 zsum = [jnp.float32(0)] * (3 * nb)
@@ -941,12 +971,16 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
 
             rc_mag, rc_err, rc_nz = jax.lax.map(
                 one, jnp.arange(61, dtype=jnp.int32))
-            nvec = jnp.asarray(np.concatenate(
-                [s.astype(np.float64) for s in sizes3]).astype(np.float32))
-            p1 = jnp.clip(rc_nz / nvec, 1e-6, 1.0 - 1e-6)
-            flag_bits = -(rc_nz * jnp.log2(p1)
-                          + (nvec - rc_nz) * jnp.log2(1.0 - p1))
-            rc_bits = rc_mag + flag_bits
+            if _toggles.disabled("flag_entropy"):
+                rc_bits = rc_mag
+            else:
+                nvec = jnp.asarray(np.concatenate(
+                    [s.astype(np.float64)
+                     for s in sizes3]).astype(np.float32))
+                p1 = jnp.clip(rc_nz / nvec, 1e-6, 1.0 - 1e-6)
+                flag_bits = -(rc_nz * jnp.log2(p1)
+                              + (nvec - rc_nz) * jnp.log2(1.0 - p1))
+                rc_bits = rc_mag + flag_bits
         else:
             rc_bits = jnp.zeros((61, 3 * nb), jnp.float32)
             rc_err = jnp.zeros((61, 3 * nb), jnp.float32)
@@ -987,9 +1021,12 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                     (jnp.float32(1.0 / 16384.0), jnp.float32(16384.0)))
                 return jnp.sqrt(lo * hi)
 
-            s_fit = jax.lax.cond(target_bits > 0, fit,
-                                 lambda _: jnp.float32(1.0),
-                                 operand=None)
+            if _toggles.disabled("lam_fit"):
+                s_fit = jnp.float32(1.0)
+            else:
+                s_fit = jax.lax.cond(target_bits > 0, fit,
+                                     lambda _: jnp.float32(1.0),
+                                     operand=None)
             lam_bands = s_fit * lam_bands
             qi_bands, _ = pick_at(s_fit)
 
@@ -1092,12 +1129,20 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
         for (ci, bi, vcb, hcb, _o, _h, _w, _m) in mq_bands:
             parts.append(jax.lax.bitcast_convert_type(
                 mq_qi[(ci, bi)].astype(jnp.int16), jnp.uint8).reshape(-1))
-        lob = jnp.concatenate(
-            [jax.lax.bitcast_convert_type(a, jnp.uint8) for a in outlo])
-        hib = jnp.concatenate(
-            [jax.lax.bitcast_convert_type(a, jnp.uint8) for a in outhi])
-        ovfb = jnp.stack(ovfs).astype(jnp.uint8)
-        wire = jnp.concatenate(parts + [lob, hib, ovfb])
+        if _toggles.disabled("int8_wire"):
+            qb = jnp.concatenate(
+                [jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
+                 for a in outq])
+            wire = jnp.concatenate(parts + [qb])
+        else:
+            lob = jnp.concatenate(
+                [jax.lax.bitcast_convert_type(a, jnp.uint8)
+                 for a in outlo])
+            hib = jnp.concatenate(
+                [jax.lax.bitcast_convert_type(a, jnp.uint8)
+                 for a in outhi])
+            ovfb = jnp.stack(ovfs).astype(jnp.uint8)
+            wire = jnp.concatenate(parts + [lob, hib, ovfb])
         return (wire,) + tuple(outq) + tuple(outr)
 
     qsel_lo = 4 if num_refs == 1 else 8
@@ -1120,7 +1165,6 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
             return fn(*args)
         jax.block_until_ready(
             [a for a in args if hasattr(a, "block_until_ready")])
-        last = None
         for attempt in range(3):
             try:
                 outs = fn(*args)
@@ -1132,14 +1176,18 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                 # HTTP response mid-body; the compile itself is retryable
                 # (the relay caches finished compiles, so a retry is cheap
                 # when the first attempt actually completed server-side)
-                if "remote_compile" not in str(e) or attempt == 2:
+                if not _is_transient_tunnel_error(e) or attempt == 2:
                     raise
-                last = e
-                import time as _time
-                _time.sleep(2.0 * (attempt + 1))
-        raise last
+                _log_stage_retry(tag, attempt, e)
+                time.sleep(2.0 * (attempt + 1))
 
-    if num_refs == 1:
+    if _toggles.disabled("stage_split"):
+        # round-3 structure: the whole picture is ONE jitted program
+        step_j = jax.jit(raw_step)
+
+        def stepfn(*a):
+            return _call_stage(step_j, "mono", *a)
+    elif num_refs == 1:
         front_j = jax.jit(front)
 
         def stepfn(*a):
@@ -1441,30 +1489,35 @@ def finish_inter_picture(pending: dict, frame_number: int, ref1_num: int,
     # DC-block ratio: the reference's intra-bailout / badblock signal
     # (schro_motionest statistics, schroencoder.c:2373-2384)
     pending["dc_ratio"] = float(np.mean(mv["pred_mode"] == 0))
-    los = []
-    for n in lay["sizes_lo"]:
-        los.append(np.frombuffer(wire, np.int8, n, off))
-        off += n
-    his = []
-    for n in lay["sizes_hi"]:
-        his.append(np.frombuffer(wire, np.int8, n, off))
-        off += n
-    ovf = wire[off:off + 3]
     stats = ((rc[0].copy(), rc[1].copy())
              if pending.get("want_stats") else None)
     host_q = []
-    for c in range(3):
-        if ovf[c]:
-            # rare fine-band overflow (very low qi): refetch exact int16
-            host_q.append(np.asarray(jax.device_get(outs[1 + c])))
-            continue
-        lo = los[c]
-        hi = his[c]
-        n_c = hi.shape[0]
-        qv = lo.astype(np.int16)
-        qv[:n_c] = (hi.astype(np.int16) << 8) | (lo[:n_c].astype(np.int16)
-                                                 & 0xFF)
-        host_q.append(qv)
+    if _toggles.disabled("int8_wire"):
+        for n in lay["sizes_lo"]:
+            host_q.append(np.frombuffer(wire, np.int16, n, off))
+            off += 2 * n
+    else:
+        los = []
+        for n in lay["sizes_lo"]:
+            los.append(np.frombuffer(wire, np.int8, n, off))
+            off += n
+        his = []
+        for n in lay["sizes_hi"]:
+            his.append(np.frombuffer(wire, np.int8, n, off))
+            off += n
+        ovf = wire[off:off + 3]
+        for c in range(3):
+            if ovf[c]:
+                # rare fine-band overflow (very low qi): refetch int16
+                host_q.append(np.asarray(jax.device_get(outs[1 + c])))
+                continue
+            lo = los[c]
+            hi = his[c]
+            n_c = hi.shape[0]
+            qv = lo.astype(np.int16)
+            qv[:n_c] = ((hi.astype(np.int16) << 8)
+                        | (lo[:n_c].astype(np.int16) & 0xFF))
+            host_q.append(qv)
     refs = [ref1_num] if ref2_num is None else [ref1_num, ref2_num]
     from schroedinger_tpu.utils.telemetry import dump, dump_enabled
     if dump_enabled("lambda_curve") and qi_bands is not None:
