@@ -401,9 +401,10 @@ class GopEncoder:
                 qargs = self._quant_args("P", p)
             if not ei_inter.p_step_is_cached(
                     p, **self._step_variant_kw(True, qargs)):
-                # compile barrier (see _drain_if_compiling)
-                while pends:
-                    out += self._finish_pending(pends.popleft())
+                # compile barrier (see _drain_if_compiling): fetch so the
+                # device is idle for the compile; commits stay scheduled
+                for pd in pends:
+                    self._fetch_pending(pd)
             keep = planes if (self.enable_psnr or self.enable_ssim) \
                 else None
             meta = (num, self.last_ref, self.prev_ref, sc, keep)
@@ -552,18 +553,33 @@ class GopEncoder:
             error_power=self.magic["error_power"])
 
     def _drain_if_compiling(self, p, want_recon: bool, qargs: dict) -> bytes:
-        """Drain the in-flight pipeline before dispatching a picture
-        variant whose fused step is not yet compiled: on the axon tunnel
-        a remote XLA compile issued while other executions are queued can
-        crash the TPU worker (observed reproducibly at 1080p biref)."""
+        """Quiesce the device before dispatching a picture variant whose
+        fused step is not yet compiled: on the axon tunnel a remote XLA
+        compile issued while other executions are queued can crash the
+        TPU worker (observed reproducibly at 1080p biref).
+
+        Pending pictures are FETCHED (their wire transfers block until
+        all queued device work completes, so the device is idle for the
+        compile) but NOT committed: rate-control / quantiser-engine /
+        correction updates and byte emission stay on the normal pipeline
+        schedule, so the output bytes are identical whether or not a
+        compile barrier fired here (cold vs warm compile caches produce
+        byte-identical streams — the multihost sharding contract)."""
         if ei_inter.p_step_is_cached(p, **self._step_variant_kw(want_recon,
                                                                 qargs)):
             return b""
-        out = bytearray()
-        if self._pends2:
-            while self._pends2:
-                out += self._finish_pending2(self._pends2.popleft())
-        return bytes(out)
+        for pend in self._pends2:
+            self._fetch_pending2(pend)
+        return b""
+
+    def _fetch_pending2(self, pend) -> None:
+        """Fetch a pending picture's device results (blocking) without
+        committing its rate-control side effects; idempotent."""
+        pending, (num, refs, retired, is_ref, kind, sc, keep) = pend
+        if "_fetched" not in pending:
+            pending["_fetched"] = ei_inter.finish_inter_picture(
+                pending, num, refs[0], is_ref=is_ref, retired=retired,
+                ref2_num=refs[1] if len(refs) > 1 else None)
 
 
     def _me_lam(self) -> float:
@@ -783,11 +799,9 @@ class GopEncoder:
         return bytes(out)
 
     def _finish_pending2(self, pend) -> bytes:
-        from schroedinger_tpu.encoder import inter as ei_inter
+        self._fetch_pending2(pend)
         pending, (num, refs, retired, is_ref, kind, sc, keep) = pend
-        unit, stats = ei_inter.finish_inter_picture(
-            pending, num, refs[0], is_ref=is_ref, retired=retired,
-            ref2_num=refs[1] if len(refs) > 1 else None)
+        unit, stats = pending.pop("_fetched")
         if self.qengine:
             self.qengine.update(stats)
         if stats is not None:
@@ -827,12 +841,18 @@ class GopEncoder:
             units.append(pad_unit)
         return self._chain.add(units)
 
-    def _finish_pending(self, pend) -> bytes:
-        from schroedinger_tpu.encoder import inter as ei_inter
+    def _fetch_pending(self, pend) -> None:
+        """Backref-path analog of _fetch_pending2: blocking fetch,
+        commit deferred; idempotent."""
         pending, (num, ref_num, retired, sc, keep) = pend
-        unit, stats = ei_inter.finish_inter_picture(pending, num, ref_num,
-                                                    is_ref=True,
-                                                    retired=retired)
+        if "_fetched" not in pending:
+            pending["_fetched"] = ei_inter.finish_inter_picture(
+                pending, num, ref_num, is_ref=True, retired=retired)
+
+    def _finish_pending(self, pend) -> bytes:
+        self._fetch_pending(pend)
+        pending, (num, ref_num, retired, sc, keep) = pend
+        unit, stats = pending.pop("_fetched")
         if self.qengine:
             self.qengine.update(stats)
         if stats is not None:

@@ -116,3 +116,27 @@ def test_shard_encoder_validation():
 
     with pytest.raises(ValueError, match="enable_scene_change"):
         gops.encode_gops_sharded(frames, bad_enc, n_shards=2)
+
+
+def test_encode_bytes_independent_of_compile_cache_state():
+    """Cold vs warm compile caches must produce byte-identical streams.
+
+    The compile barrier (_drain_if_compiling) quiesces the device before
+    a first-use variant compiles; round 4 committed the drained pictures'
+    rate-control updates early, so a cold-cache encode saw different TM5
+    feedback timing than a warm one and the multihost dryrun's worker
+    streams (cold) mismatched the single-process sharded encode (warm).
+    Now the barrier fetches without committing."""
+    import schroedinger_tpu
+    frames = make_frames(8)
+
+    def enc():
+        return GopEncoder(_vf(), gop_length=4, gop_structure="biref",
+                          subgroup_length=2, bitrate=400000, fps=25,
+                          enable_scene_change=False)
+
+    a = enc().encode_stream(frames)          # whatever cache state
+    schroedinger_tpu.clear_compiled_caches()
+    b = enc().encode_stream(frames)          # cold: barriers fire
+    c = enc().encode_stream(frames)          # warm: no barriers
+    assert a == b == c
