@@ -597,6 +597,12 @@ _TRANSIENT_TUNNEL_SUBSTRINGS = ("remote_compile", "DEADLINE_EXCEEDED",
                                 "Deadline Exceeded", "Connection reset",
                                 "Socket closed")
 
+import os as _os
+_STATS_DEBUG = bool(_os.environ.get("SCHRO_TPU_STATS_DEBUG"))
+_SYNC_DEBUG = bool(_os.environ.get("SCHRO_TPU_SYNC_DEBUG"))
+_DUMP_STAGE = (_os.environ["SCHRO_TPU_DUMP_STAGE"].split(":", 1)
+               if _os.environ.get("SCHRO_TPU_DUMP_STAGE") else None)
+
 
 def _is_transient_tunnel_error(e: Exception) -> bool:
     msg = str(e)
@@ -832,7 +838,10 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
         v = packed[ny + nc:ny + 2 * nc].reshape(hc_pic, wc_pic)
         cpl1 = ((u, v, up_u[::2, ::2], up_v[::2, ::2])
                 if chroma_geom is not None else None)
+        trunc = int(_os.environ.get("SCHRO_TPU_FRONT_TRUNC", "0"))
         dy, dx, sad_mc = me_body(y, ref_y, extra, cpl1)
+        if trunc == 1:      # debug bisection: ME only
+            return (dy.sum(), dx.sum(), sad_mc.sum())
         sad_dc, mean_y = _dc_stats(y, p.ybsep_luma, p.xbsep_luma, ynb, xnb)
         mean_u = _block_means(u, None, p.ybsep_luma >> v_shift,
                               p.xbsep_luma >> h_shift, ynb, xnb)
@@ -843,6 +852,9 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
         elif p.mv_precision > 0:
             dy = dy << p.mv_precision      # deep refine off: scale only
             dx = dx << p.mv_precision
+        if trunc == 2:      # debug bisection: + subpel + dc stats
+            return (dy.sum(), dx.sum(), sad_mc.sum(), sad_dc.sum(),
+                    mean_y.sum(), mean_u.sum(), mean_v.sum())
         # RD split + mode search (schro_mode_decision analog): lambda
         # scales with the quant step (QF/4), ~step/2 SAD per bit; with
         # rdo_pick the caller supplies it (frame_me_lambda analog)
@@ -885,8 +897,12 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
         if num_refs == 2:
             best_pred = jnp.minimum(best_pred, sad2)
         badblock = jnp.mean((best_pred > bb_thr).astype(jnp.float32))
+        if trunc == 3:      # debug bisection: + RD split/mode
+            return tuple(fields[k].sum() for k in _P_FIELD_ORDER)
 
         preds = render_body(fields, (up_y, up_u, up_v), ups2)
+        if trunc == 4:      # debug bisection: + OBMC render
+            return tuple(pr.sum() for pr in preds)
 
         rc_flat = []
         for plane, pred, (oh, ow) in zip((y, u, v), preds, iwt_dims):
@@ -959,7 +975,9 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                 if _toggles.disabled("error_power"):
                     e = jnp.square(ad)
                 else:
-                    e = ad ** jnp.float32(error_power)
+                    from schroedinger_tpu.encoder.ratecontrol import \
+                        error_metric
+                    e = error_metric(ad, error_power)
                 bsum = [jnp.float32(0)] * (3 * nb)
                 esum = [jnp.float32(0)] * (3 * nb)
                 zsum = [jnp.float32(0)] * (3 * nb)
@@ -1046,9 +1064,11 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                     dq = q.dequantise(qq, QF[qid], QO[qid])
                     cb_b = _cb_sums(_sint_bits(qq).astype(jnp.float32),
                                     ys, xs)
-                    cb_e = _cb_sums(
-                        jnp.abs((band - dq).astype(jnp.float32))
-                        ** jnp.float32(error_power), ys, xs)
+                    from schroedinger_tpu.encoder.ratecontrol import \
+                        error_metric
+                    cb_e = _cb_sums(error_metric(
+                        jnp.abs((band - dq).astype(jnp.float32)),
+                        error_power), ys, xs)
                     costs.append(cb_b + lamb * cb_e)
                 pick = jnp.argmin(jnp.stack(costs), axis=0)
                 mq_qi[(ci, bi)] = jnp.clip(
@@ -1161,6 +1181,21 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
     _compiled = set()
 
     def _call_stage(fn, tag, *args):
+        if _SYNC_DEBUG:
+            jax.block_until_ready(
+                [a for a in args if hasattr(a, "block_until_ready")])
+            if _DUMP_STAGE and _DUMP_STAGE[0] == tag:
+                np.savez(_DUMP_STAGE[1],
+                         **{f"a{i}": np.asarray(a)
+                            for i, a in enumerate(args)})
+                print(f"syncdbg dumped {tag} args to {_DUMP_STAGE[1]}",
+                      file=sys.stderr, flush=True)
+            print(f"syncdbg dispatch {tag}", file=sys.stderr, flush=True)
+            outs = fn(*args)
+            jax.block_until_ready(outs)
+            print(f"syncdbg done {tag}", file=sys.stderr, flush=True)
+            _compiled.add(tag)
+            return outs
         if tag in _compiled:
             return fn(*args)
         jax.block_until_ready(
@@ -1286,6 +1321,7 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
 
     layout = {
         "n_fields": n_fields, "yb": ynb, "xb": xnb, "nb": nb,
+        "front": front, "back": back,   # unjitted bodies (debug/replay)
         "sizes_lo": sizes_lo, "sizes_hi": sizes_hi,
         "mq": [(ci, bi, vcb, hcb)
                for (ci, bi, vcb, hcb, _o, _h, _w, _m) in mq_bands],
@@ -1491,6 +1527,12 @@ def finish_inter_picture(pending: dict, frame_number: int, ref1_num: int,
     pending["dc_ratio"] = float(np.mean(mv["pred_mode"] == 0))
     stats = ((rc[0].copy(), rc[1].copy())
              if pending.get("want_stats") else None)
+    if _STATS_DEBUG:
+        print(f"statsdbg frame {frame_number}: bits max "
+              f"{np.nanmax(rc[0]):.3e} err max {np.nanmax(rc[1]):.3e} "
+              f"inf {np.isinf(rc).sum()} nan {np.isnan(rc).sum()} "
+              f"qi {np.asarray(qi_bands).ravel().tolist() if pending.get('rdo') else None}",
+              file=sys.stderr, flush=True)
     host_q = []
     if _toggles.disabled("int8_wire"):
         for n in lay["sizes_lo"]:

@@ -141,8 +141,9 @@ def _get_i_step(p: Params, error_power: float = 4.0):
             b = (_sint_bits(qq).astype(jnp.float32) - 1.0) * nzm
             # |orig - dequant|^magic_error_power (error_pow,
             # schroquantiser.c:477-507; default 4)
-            e = jnp.abs((allflat - dq).astype(jnp.float32)) \
-                ** jnp.float32(error_power)
+            from schroedinger_tpu.encoder.ratecontrol import error_metric
+            e = error_metric(
+                jnp.abs((allflat - dq).astype(jnp.float32)), error_power)
             bs_ = [jnp.float32(0)] * (3 * nb)
             es = [jnp.float32(0)] * (3 * nb)
             zs = [jnp.float32(0)] * (3 * nb)

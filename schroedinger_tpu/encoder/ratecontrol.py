@@ -26,6 +26,30 @@ def _sint_bits(v):
     return 2 * n - 1 + (m != 0)
 
 
+def error_metric(ad, error_power: float):
+    """|orig - dequant| ** magic_error_power (error_pow,
+    schroquantiser.c:477-507; default power 4) as a square-and-multiply
+    chain for integral powers.  Float `x ** y` lowers to the TPU's
+    transcendental exp/log path; the round-4 stat tables used it at
+    1080p scale and the axon TPU worker died with a kernel fault after
+    ~25 frames of steady-state CBR encode (bisected to exactly this op —
+    every other round-4 feature ran green).  Integral powers need only
+    multiplies, which are also faster."""
+    ip = int(round(error_power))
+    if abs(error_power - ip) < 1e-9 and 1 <= ip <= 16:
+        out = None
+        sq = ad
+        n = ip
+        while n:
+            if n & 1:
+                out = sq if out is None else out * sq
+            n >>= 1
+            if n:
+                sq = sq * sq
+        return out
+    return ad ** jnp.float32(error_power)
+
+
 @jax.jit
 def bits_per_base(flat_coeffs, qmo, intra_flag):
     """Total sint-bit estimate of quantised coefficients for base 0..60.
@@ -103,8 +127,9 @@ def stats_tables(band_lists, p: Params, intra: bool,
                 # |orig - dequant|^magic_error_power (error_pow,
                 # schroquantiser.c:477-507; default 4) — the reference's
                 # lambda calibration assumes these units
-                e = jnp.abs((allflat - dq).astype(jnp.float32)) \
-                    ** jnp.float32(error_power)
+                e = error_metric(
+                    jnp.abs((allflat - dq).astype(jnp.float32)),
+                    error_power)
                 bsum = [jnp.float32(0)] * ncol
                 esum = [jnp.float32(0)] * ncol
                 zsum = [jnp.float32(0)] * ncol
