@@ -855,6 +855,11 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
         if trunc == 2:      # debug bisection: + subpel + dc stats
             return (dy.sum(), dx.sum(), sad_mc.sum(), sad_dc.sum(),
                     mean_y.sum(), mean_u.sum(), mean_v.sum())
+        mvclamp = int(_os.environ.get("SCHRO_TPU_MV_CLAMP", "0"))
+        if mvclamp:         # debug bisection: cap |mv| (pel) pre-RD
+            b = mvclamp << p.mv_precision
+            dy = jnp.clip(dy, -b, b)
+            dx = jnp.clip(dx, -b, b)
         # RD split + mode search (schro_mode_decision analog): lambda
         # scales with the quant step (QF/4), ~step/2 SAD per bit; with
         # rdo_pick the caller supplies it (frame_me_lambda analog)
@@ -898,9 +903,19 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
             best_pred = jnp.minimum(best_pred, sad2)
         badblock = jnp.mean((best_pred > bb_thr).astype(jnp.float32))
         if trunc == 3:      # debug bisection: + RD split/mode
-            return tuple(fields[k].sum() for k in _P_FIELD_ORDER)
+            return tuple(fields[k] for k in _P_FIELD_ORDER)
 
         preds = render_body(fields, (up_y, up_u, up_v), ups2)
+        if not _toggles.disabled("render_barrier"):
+            # fusion fence: letting XLA fuse the three OBMC patch-gather
+            # renders into their downstream reductions (residual IWT /
+            # sums) produces a program that kernel-faults the axon TPU
+            # worker for certain frame data (r5 bisection: any TWO such
+            # fused pipelines are green, THREE fault; with the preds
+            # materialized as plane outputs the same math is green).
+            # The barrier forces the three pred planes to materialize
+            # before the residual transform — the green structure.
+            preds = jax.lax.optimization_barrier(tuple(preds))
         if trunc == 4:      # debug bisection: + OBMC render
             return tuple(pr.sum() for pr in preds)
 
@@ -1192,7 +1207,11 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                       file=sys.stderr, flush=True)
             print(f"syncdbg dispatch {tag}", file=sys.stderr, flush=True)
             outs = fn(*args)
-            jax.block_until_ready(outs)
+            # block_until_ready does NOT round-trip the axon tunnel; a
+            # real device_get of one output leaf is the only way to know
+            # this program actually completed on the worker
+            leaf = jax.tree_util.tree_leaves(outs)[-1]
+            _ = np.asarray(jax.device_get(leaf))
             print(f"syncdbg done {tag}", file=sys.stderr, flush=True)
             _compiled.add(tag)
             return outs
@@ -1291,6 +1310,9 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
             badblock = jnp.mean((best_pred > bb_thr).astype(jnp.float32))
             preds = render_body(fields, (up_y, up_u, up_v),
                                 (up2_y, up2_u, up2_v))
+            if not _toggles.disabled("render_barrier"):
+                # same fusion fence as front (see comment there)
+                preds = jax.lax.optimization_barrier(tuple(preds))
             rc_flat = []
             for plane, pred, (oh, ow) in zip((y, u, v), preds, iwt_dims):
                 h, w = plane.shape

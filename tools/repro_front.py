@@ -47,8 +47,13 @@ def main():
     jargs = [jnp.asarray(a) for a in args]
     t0 = time.perf_counter()
     outs = front_j(jargs[0], *jargs[1:])
-    jax.block_until_ready(outs)
-    print(f"TRUNC={trunc} OK in {time.perf_counter() - t0:.1f}s", flush=True)
+    # block_until_ready does not round-trip the axon tunnel; fetch every
+    # output leaf so completion (or the fault) is actually observed
+    leaves = [np.asarray(jax.device_get(o))
+              for o in jax.tree_util.tree_leaves(outs)]
+    print(f"TRUNC={trunc} OK in {time.perf_counter() - t0:.1f}s; "
+          f"sums {[float(np.float64(l.astype(np.float64).sum())) for l in leaves[:4]]}",
+          flush=True)
 
 
 if __name__ == "__main__":
