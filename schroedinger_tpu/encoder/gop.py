@@ -61,6 +61,7 @@ class GopEncoder:
                  enable_noarith: bool = False,
                  max_refs: int = 3,
                  estimation: tuple = (),
+                 enable_b_batch: bool = True,
                  magic: Optional[dict] = None):
         self.vf = video_format
         self.intra_wavelet = intra_wavelet
@@ -88,6 +89,7 @@ class GopEncoder:
         self.stats = stats
         self.field_factor = 2 if video_format.interlaced_coding else 1
         self.enable_phasecorr = enable_phasecorr
+        self.enable_b_batch = enable_b_batch
         self.qengine = quantiser_engine
         self.pipeline_depth = pipeline_depth
         self._last_stats = None  # newest finished frame's (bits61, err61)
@@ -713,8 +715,14 @@ class GopEncoder:
         else:
             out += self._start_ref_biref(planes, num, sc)
             intra_num = None
-        for (bnum, bplanes, bsc) in group[:-1]:
-            out += self._start_b_biref(bplanes, bnum, bsc)
+        bs_ = group[:-1]
+        batched = (self._start_b_batch(bs_)
+                   if len(bs_) >= 2 and self.enable_b_batch else None)
+        if batched is not None:
+            out += batched
+        else:
+            for (bnum, bplanes, bsc) in bs_:
+                out += self._start_b_biref(bplanes, bnum, bsc)
         if intra_num is not None:
             # expire_refs_before (schroengine.c:294-296): pre-AU refs
             # become retire candidates for subsequent ref pictures
@@ -785,6 +793,59 @@ class GopEncoder:
         meta = (num, refs, None, False, "B", sc, keep)
         self._pends2.append((pending, meta))
         return out_pre + self._drain_pends2()
+
+    def _start_b_batch(self, bs_):
+        """Dispatch a whole subgroup's B pictures as ONE vmapped device
+        program (inter.start_inter_batch): 1 dispatch + 1 wire transfer
+        instead of 4N staged RPCs.  Returns None to fall back to the
+        per-picture path when the batch preconditions don't hold
+        (phasecorr extra inputs, mixed refs, host-pick quantisers,
+        recon-needed Bs)."""
+        from schroedinger_tpu.encoder import inter as ei_inter
+        if self.enable_phasecorr:
+            return None
+        if len(bs_) != self.subgroup_length - 1:
+            return None     # tail/cut subgroups: one-off batch shapes
+                            # are not worth their own compile; per-pic
+        want_rec = (self.enable_md5 or self.enable_psnr
+                    or self.enable_ssim)
+        if want_rec:
+            return None     # recon slicing unvalidated; keep simple path
+        nums = [b[0] for b in bs_]
+        refsl = [self._pick_refs(n) for n in nums]
+        ref0, ref1 = refsl[0]
+        if ref1 is None or any(r != refsl[0] for r in refsl[1:]):
+            return None
+        if self.max_refs < 2:
+            return None
+        p = self._params(2)
+        qargs_l = [self._quant_args("B", p) for _ in bs_]
+        if "lam_bands" not in qargs_l[0]:
+            return None     # host-pick engine: per-picture path
+        kw = self._step_variant_kw(want_rec, qargs_l[0])
+        if not ei_inter.b_batch_is_cached(p, len(bs_), **kw):
+            for pend in self._pends2:
+                self._fetch_pending2(pend)
+        qsels = [{"lam_bands": qa["lam_bands"],
+                  "me_lam": qa.get("me_lam", self._me_lam()),
+                  "target_bits": qa.get("target_bits", 0.0),
+                  "corr_bands": qa.get("corr_bands")} for qa in qargs_l]
+        pendings = ei_inter.start_inter_batch(
+            [self._prefilter(b[1]) for b in bs_], p,
+            self.ref_frames[ref0], self.ref_frames[ref1], qsels,
+            want_recon=want_rec,
+            want_stats=bool(qargs_l[0].get("want_stats")),
+            me_levels=self.downsample_levels,
+            block_search_threshold=self.magic["block_search_threshold"],
+            scan_distance=self.magic["scan_distance"],
+            estimation=self.estimation,
+            error_power=self.magic["error_power"])
+        out = bytearray()
+        for (num, planes, sc), pending in zip(bs_, pendings):
+            meta = (num, [ref0, ref1], None, False, "B", sc, None)
+            self._pends2.append((pending, meta))
+        out += self._drain_pends2()
+        return bytes(out)
 
     def _drain_pends2(self) -> bytes:
         out = bytearray()

@@ -609,6 +609,30 @@ def _is_transient_tunnel_error(e: Exception) -> bool:
     return any(s in msg for s in _TRANSIENT_TUNNEL_SUBSTRINGS)
 
 
+def _real_sync(xs, max_bytes: int = 4 << 20) -> None:
+    """Wait for device work to ACTUALLY complete.
+
+    jax.block_until_ready does not round-trip the axon tunnel (measured:
+    it returns in ~10ms for a 1080p program whose execution later turns
+    out to fault), so quiescing the device before a remote compile needs
+    a real device_get.  One fetched output leaf implies its whole
+    program completed; leaves larger than max_bytes are skipped (their
+    producers are either host uploads or programs whose other leaves get
+    fetched)."""
+    leaves = [x for x in jax.tree_util.tree_leaves(xs)
+              if hasattr(x, "addressable_shards") or hasattr(x, "dtype")]
+    small = [x for x in leaves
+             if getattr(x, "size", 0) * np.dtype(
+                 getattr(x, "dtype", np.uint8)).itemsize <= max_bytes]
+    if not small and leaves:
+        small = [min(leaves, key=lambda x: getattr(x, "size", 0))]
+    for x in small:
+        try:
+            jax.device_get(x)
+        except AttributeError:
+            pass
+
+
 def _log_stage_retry(tag: str, attempt: int, e: Exception) -> None:
     """Surface what was caught so non-matching transient failures are
     visible and the substring filter can be tuned (advisor r4)."""
@@ -1197,8 +1221,7 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
 
     def _call_stage(fn, tag, *args):
         if _SYNC_DEBUG:
-            jax.block_until_ready(
-                [a for a in args if hasattr(a, "block_until_ready")])
+            _real_sync(args)
             if _DUMP_STAGE and _DUMP_STAGE[0] == tag:
                 np.savez(_DUMP_STAGE[1],
                          **{f"a{i}": np.asarray(a)
@@ -1207,22 +1230,21 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                       file=sys.stderr, flush=True)
             print(f"syncdbg dispatch {tag}", file=sys.stderr, flush=True)
             outs = fn(*args)
-            # block_until_ready does NOT round-trip the axon tunnel; a
-            # real device_get of one output leaf is the only way to know
-            # this program actually completed on the worker
-            leaf = jax.tree_util.tree_leaves(outs)[-1]
-            _ = np.asarray(jax.device_get(leaf))
+            _real_sync(outs)
             print(f"syncdbg done {tag}", file=sys.stderr, flush=True)
             _compiled.add(tag)
             return outs
         if tag in _compiled:
             return fn(*args)
-        jax.block_until_ready(
-            [a for a in args if hasattr(a, "block_until_ready")])
+        # first call compiles: REALLY quiesce in-flight producers (small
+        # leaves: ME fields, qsel vectors — big refs are host uploads or
+        # already-fetched recons), then verify completion with a real
+        # round-trip before going async on later calls
+        _real_sync(args)
         for attempt in range(3):
             try:
                 outs = fn(*args)
-                jax.block_until_ready(outs)
+                _real_sync(outs)
                 _compiled.add(tag)
                 return outs
             except jax.errors.JaxRuntimeError as e:
@@ -1498,6 +1520,116 @@ def start_inter_picture(planes_u8, p: Params, ref1: RefFrame,
     }
 
 
+_B_BATCH_CACHE = {}
+
+
+def b_batch_is_cached(p: Params, n: int, **kw) -> bool:
+    """True when the n-picture vmapped B step for this variant is built
+    (compile-barrier hook for pipelined drivers, like p_step_is_cached)."""
+    return (_p_step_key(p, kw.pop("n_extra", 0), **kw) + ("bbatch", n)) \
+        in _B_BATCH_CACHE
+
+
+def start_inter_batch(planes_list, p: Params, ref1: RefFrame,
+                      ref2: RefFrame, qsels, want_recon: bool = False,
+                      want_stats: bool = False, me_levels: int = 5,
+                      block_search_threshold: float = 15.0,
+                      scan_distance: float = 4.0, estimation: tuple = (),
+                      error_power: float = 4.0):
+    """Dispatch the N independent B pictures of a biref subgroup as ONE
+    vmapped fused device program (single-chip frames-within-subgroup
+    batching — the one-device analog of the frames-within-GOP mesh
+    sharding, and the TPU-first counterpart of the reference's stage-DAG
+    frame parallelism, schroencoder.c:1979-2192: B pictures of a
+    subgroup have no mutual dependencies, schroengine.c:247-304).
+
+    All pictures share (ref1, ref2); per-picture inputs are the packed
+    frame and the rdo qsel (lam_bands, me_lam, target_bits, corr_bands).
+    One dispatch replaces 4N staged RPCs, and the whole batch's wire
+    comes back in ONE transfer (finish_inter_picture fetches the batched
+    wire once and slices rows on host).
+
+    Returns a list of pending dicts compatible with
+    finish_inter_picture."""
+    assert _native is not None
+    assert p.num_refs == 2 and ref2 is not None
+    n = len(planes_list)
+    nb = subband_count(p.transform_depth)
+    kw = dict(n_extra=0, want_stats=want_stats, want_recon=want_recon,
+              rdo_pick=True, me_levels=me_levels,
+              block_search_threshold=block_search_threshold,
+              scan_distance=scan_distance, estimation=tuple(estimation),
+              error_power=error_power)
+    _, shapes3, layout = _get_p_step(p, **kw)
+    raw = layout["raw_step"]
+    key = _p_step_key(p, 0, **{k: v for k, v in kw.items()
+                               if k != "n_extra"}) + ("bbatch", n)
+    vj = _B_BATCH_CACHE.get(key)
+    first = vj is None
+    if first:
+        vj = jax.jit(jax.vmap(
+            raw, in_axes=(0,) + (None,) * 8 + (0, 0, 0, 0)))
+        _B_BATCH_CACHE[key] = vj
+
+    packed_b = jnp.asarray(np.stack(
+        [np.concatenate([np.asarray(pl, np.uint8).ravel() for pl in pls])
+         for pls in planes_list]))
+    ups1 = ref1.get_upsampled()
+    ups2 = ref2.get_upsampled()
+    refargs = (jnp.asarray(ref1.planes[0]), ups1[0], ups1[1], ups1[2],
+               jnp.asarray(ref2.planes[0]), ups2[0], ups2[1], ups2[2])
+
+    lam_b = []
+    melam_b = []
+    tgt_b = []
+    corr_b = []
+    for qs in qsels:
+        lb = np.asarray(qs["lam_bands"], np.float64)
+        if lb.size == nb:
+            lb = np.tile(lb, 3)
+        lam_b.append(lb.astype(np.float32))
+        melam_b.append(np.float32(qs["me_lam"]))
+        tgt_b.append(np.float32(qs.get("target_bits") or 0.0))
+        cb = qs.get("corr_bands")
+        corr_b.append(np.ones(3 * nb, np.float32) if cb is None
+                      else np.asarray(cb, np.float32))
+    bargs = (packed_b,) + refargs + (
+        jnp.asarray(np.stack(lam_b)), jnp.asarray(np.stack(melam_b)),
+        jnp.asarray(np.stack(tgt_b)), jnp.asarray(np.stack(corr_b)))
+
+    if first:
+        # compile barrier semantics of _call_stage: first call of the
+        # batched program REALLY waits for in-flight producers, runs
+        # synchronously (real round-trip), retries transient failures
+        _real_sync(bargs)
+        for attempt in range(3):
+            try:
+                outs = vj(*bargs)
+                _real_sync(outs)
+                break
+            except jax.errors.JaxRuntimeError as e:
+                if not _is_transient_tunnel_error(e) or attempt == 2:
+                    raise
+                _log_stage_retry(f"bbatch{n}", attempt, e)
+                time.sleep(2.0 * (attempt + 1))
+    else:
+        outs = vj(*bargs)
+
+    shared = {"outs": outs}
+    pendings = []
+    for i in range(n):
+        pendings.append({
+            "p": p, "outs": tuple(o[i] for o in outs), "qi_bands": None,
+            "shapes3": shapes3, "layout": layout, "rdo": True,
+            "base_qi": 0, "want_stats": want_stats,
+            "batch": (shared, i),
+            "recon": ((outs[4][i], outs[5][i], outs[6][i])
+                      if want_recon else None),
+            "up": None,
+        })
+    return pendings
+
+
 def prefetch_pending(pending: dict) -> None:
     """Kick the async device->host copy of the wire so the transfer
     overlaps the next frame's compute (no-op if the backend ignores it)."""
@@ -1517,7 +1649,16 @@ def finish_inter_picture(pending: dict, frame_number: int, ref1_num: int,
     outs = pending["outs"]
     lay = pending["layout"]
     with timers.span("p_transfer"):
-        wire = np.asarray(jax.device_get(outs[0]))
+        batch = pending.get("batch")
+        if batch is not None:
+            shared, bi = batch
+            if "wires" not in shared:
+                # ONE transfer for the whole subgroup's wires
+                shared["wires"] = np.asarray(
+                    jax.device_get(shared["outs"][0]))
+            wire = shared["wires"][bi]
+        else:
+            wire = np.asarray(jax.device_get(outs[0]))
     nf, yb, xb, nb = (lay["n_fields"], lay["yb"], lay["xb"], lay["nb"])
     off = 0
     f16 = np.frombuffer(wire, np.int16, nf * yb * xb, off).reshape(

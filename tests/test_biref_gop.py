@@ -161,3 +161,50 @@ def test_biref_trailing_partial_subgroup():
                      gop_structure="biref", subgroup_length=4)
     stream = enc.encode_stream(frames)
     check_stream(stream, frames)
+
+
+def test_b_batch_path_equivalence():
+    """The vmapped subgroup B-batch (one device program for all Bs of a
+    subgroup) must engage for the flagship CBR biref configuration and
+    produce a valid stream of comparable rate/quality to the
+    per-picture path (bytes differ only through rate-control timing)."""
+    import numpy as np
+    from oracle import schro_oracle as so
+    from schroedinger_tpu.decoder.core import StreamDecoder
+    from schroedinger_tpu.encoder import inter as ei_inter
+
+    frames = make_frames(10)
+    W, H = frames[0][0].shape[1], frames[0][0].shape[0]
+
+    def enc(batch):
+        return GopEncoder(vfmt(), gop_length=8, gop_structure="biref",
+                          mv_precision=2, bitrate=500000, fps=25,
+                          enable_scene_change=False,
+                          enable_b_batch=batch)
+
+    ei_inter._B_BATCH_CACHE.clear()
+    st_b = enc(True).encode_stream(frames)
+    assert ei_inter._B_BATCH_CACHE, "batched path did not engage"
+    st_u = enc(False).encode_stream(frames)
+
+    dec_b = so.decode(st_b, W, H)
+    dec_u = so.decode(st_u, W, H)
+    assert len(dec_b) >= 9 and len(dec_u) >= 9
+    ours_b = StreamDecoder().decode_stream(st_b)
+    for a, b in zip(dec_b, ours_b):
+        for pa, pb in zip(a, b):
+            assert np.array_equal(pa, pb)
+
+    def psnr(dec):
+        vals = []
+        for g3, o3 in zip(dec, frames):
+            mse = np.mean((g3[0].astype(np.float64)
+                           - o3[0].astype(np.float64)) ** 2)
+            vals.append(99.0 if mse == 0 else
+                        10 * np.log10(255.0 ** 2 / mse))
+        return float(np.mean(vals))
+
+    pb_, pu_ = psnr(dec_b), psnr(dec_u)
+    assert abs(pb_ - pu_) < 0.7, (pb_, pu_)
+    assert abs(len(st_b) - len(st_u)) < 0.15 * len(st_u), \
+        (len(st_b), len(st_u))
