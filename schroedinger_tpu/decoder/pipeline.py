@@ -152,6 +152,9 @@ def _get_dec_step(p: Params, wide: bool):
                 pos += h * w
             pyr = sl.arrays_to_pyramid(bands, depth)
             residuals.append(wv.inverse(pyr, wavelet))
+        # fusion fence (axon bug, see inter.py): materialize the three
+        # dequant->inverse-IWT pipelines before they feed the combine
+        residuals = list(jax.lax.optimization_barrier(tuple(residuals)))
         outs = []
         if num_refs == 0:
             for res, (w_pic, h_pic) in zip(residuals, pic_sizes):
@@ -163,6 +166,11 @@ def _get_dec_step(p: Params, wide: bool):
         ups1 = tuple(args[0:3])
         ups2 = tuple(args[3:6]) if num_refs == 2 else None
         preds = render_body(fields, ups1, ups2)
+        # fusion fence (same axon bug as the encoder's front/mid, see
+        # inter.py): three OBMC patch-gather renders fused into their
+        # consumers kernel-fault the TPU worker for certain data;
+        # materializing the pred planes is the empirically green shape
+        preds = jax.lax.optimization_barrier(tuple(preds))
         for res, pred, (w_pic, h_pic) in zip(residuals, preds, pic_sizes):
             rec = (res[:h_pic, :w_pic].astype(jnp.int32)
                    + pred.astype(jnp.int32) + 128)
