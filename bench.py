@@ -72,10 +72,12 @@ def make_frames(n):
     return frames
 
 
-def make_frames_zoomrot(n):
+def make_frames_zoomrot(n, noise=3.0):
     """Slow zoom + rotation about the frame centre: translational block ME
     cannot follow this globally, so the RD split / mode decision and OBMC
-    do the quality work (the content class where encoders differ)."""
+    do the quality work (the content class where encoders differ).
+    noise=1 gives a ~48 dB noise floor so rate-distortion sweeps see the
+    structure, not the noise (bench_rd)."""
     rng = np.random.default_rng(1)
     yy, xx = np.mgrid[0:H, 0:W]
     u, v = _chroma(xx, yy)
@@ -89,7 +91,7 @@ def make_frames_zoomrot(n):
         sy = sa * (xx - cx) + ca * (yy - cy) + cy
         y = (128 + 52 * np.sin(sx / 17.0) * np.cos(sy / 13.0)
              + 28 * np.sin((sx + 2 * sy) / 53.0)
-             + rng.normal(0, 3, (H, W))).clip(0, 255).astype(np.uint8)
+             + rng.normal(0, noise, (H, W))).clip(0, 255).astype(np.uint8)
         frames.append((y, u, v))
     return frames
 

@@ -949,6 +949,70 @@ class GopEncoder:
             units.append(pad_unit)
         return self._chain.add(units)
 
+    def _seed_rc_from_intra(self, planes, p) -> None:
+        """Calibrate the TM5 base lambda against THIS content before the
+        first picture is coded: transform the first frame, build its
+        exact stat tables, and solve for the lambda whose RD pick costs
+        the I-frame allocation (lambda_for_bits — the reference's
+        entropy_to_lambda bisection, schroquantiser.c:887-960, applied
+        once at stream start).  One extra device IWT + stats fetch,
+        first frame only."""
+        import jax.numpy as jnp
+        from schroedinger_tpu.coding import slices as sl
+        from schroedinger_tpu.encoder.lowdelay import (_forward_jit,
+                                                       _prep_plane)
+        from schroedinger_tpu.encoder.ratecontrol import (lambda_for_bits,
+                                                          stats_tables)
+        dims = [(p.iwt_luma_height, p.iwt_luma_width),
+                (p.iwt_chroma_height, p.iwt_chroma_width),
+                (p.iwt_chroma_height, p.iwt_chroma_width)]
+        import jax as _jax
+        for attempt in range(3):
+            try:
+                band_lists = []
+                for plane, (oh, ow) in zip(planes, dims):
+                    prepped = _prep_plane(jnp.asarray(plane), oh, ow)
+                    pyr = _forward_jit(prepped, p.transform_depth,
+                                       p.wavelet_filter_index)
+                    band_lists.append(
+                        sl.subband_arrays(pyr, p.transform_depth))
+                stats = stats_tables(
+                    band_lists, p, intra=True,
+                    error_power=self.magic["error_power"])
+                break
+            except _jax.errors.JaxRuntimeError as e:
+                if (not ei_inter._is_transient_tunnel_error(e)
+                        or attempt == 2):
+                    raise
+                ei_inter._log_stage_retry("rc_seed", attempt, e)
+                import time as _t
+                _t.sleep(2.0 * (attempt + 1))
+        corr_i = np.maximum(self.acorr.intra, 1e-3)
+        bits_c = np.asarray(stats[0], np.float64) * corr_i
+        # only seed when the allocation is BINDING: if even the finest
+        # pick (row 0) costs less than the I allocation, the content is
+        # cheaper than the budget and the default quality-level lambda
+        # (with the TM5 undershoot-on-easy-content behaviour, like the
+        # reference) is the right regime — an unbounded fit would pin
+        # everything at maximum quality and overspend the first GOP
+        # reservoir-aware first-I target: the reference lets its intra
+        # borrow deeply from the buffer (high-quality refs are what make
+        # the cheap B's work), so fit to ~0.3 buffer rather than the
+        # pro-rata allocation — the never-finer clamp below keeps this
+        # inactive whenever the default quality level already fits
+        target = max(self.rc.I_frame_alloc, 0.3 * self.rc.buffer_size)
+        max_bits = float(bits_c[0].sum())
+        if target >= 0.9 * max_bits:
+            return
+        lam = lambda_for_bits(bits_c, stats[1], target,
+                              band_scales=self._band_scales3(True))
+        if np.isfinite(lam) and lam > 0:
+            # base_lambda is the I-level lambda (frame_lambda("I")
+            # returns it unscaled); P/B derive via the magic scales;
+            # never seed FINER than the default quality level — the fit
+            # exists to descend fast on over-budget content
+            self.rc.base_lambda = float(min(lam, self.rc.base_lambda))
+
     def _encode_ref(self, planes, num, is_intra, sc_score,
                     retired="auto", manage_refs=True) -> bytes:
         if retired == "auto":
@@ -977,6 +1041,16 @@ class GopEncoder:
                 intra_lambda = (self.qengine.lam
                                 * self.magic["I_lambda_scale"])
             elif self.rc is not None and hasattr(self.rc, "frame_lambda"):
+                if getattr(self.rc, "intra_cbr_lambda", False) is None:
+                    # FIRST intra: seed the TM5 base lambda by fitting
+                    # this frame's exact stat tables to its allocation.
+                    # The reference trusts its fixed qf->lambda absolute
+                    # calibration; ours measures it instead — without
+                    # this, low-rate clips overspend for a whole GOP
+                    # while the subgroup controller descends (measured
+                    # r5: 1.6 Mbps delivered for a 500 kbps request on
+                    # 32 frames)
+                    self._seed_rc_from_intra(planes, p)
                 intra_lambda = self.rc.frame_lambda("I")
             from schroedinger_tpu.utils import toggles as _toggles
             use_fused = (intra_lambda is not None

@@ -449,7 +449,15 @@ class CbrControllerTM5:
                          * max(self._sg_frames, 1))
             if self._sg_bits > 0 and sg_target > 0:
                 r = sg_target / self._sg_bits
-                self.base_lambda *= float(np.clip(np.sqrt(r), 0.6, 1.7))
+                # the reference's first-3-subgroups filter_tap=1.0
+                # analog (schroencoder.c:409-416): full-strength
+                # correction while the stream-start transient settles,
+                # then the damped band to avoid hunting with the
+                # pipeline's one-subgroup feedback lag
+                n = getattr(self, "_n_lam_updates", 0)
+                lim = (0.1, 4.0) if n < 3 else (0.6, 1.7)
+                self._n_lam_updates = n + 1
+                self.base_lambda *= float(np.clip(np.sqrt(r), *lim))
                 self.base_lambda = float(np.clip(self.base_lambda,
                                                  1e-9, 1e4))
             self._sg_bits = 0.0

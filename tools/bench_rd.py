@@ -23,8 +23,13 @@ os.environ.setdefault("SCHRO_THREADS", "1")
 import bench  # noqa: E402  (reuses content + encoder drivers)
 
 BITRATES = [int(b) for b in os.environ.get(
-    "RD_BITRATES", "4000000,8000000,16000000").split(",")]
-N = int(os.environ.get("RD_FRAMES", "50"))
+    "RD_BITRATES", "1000000,2000000,4000000,8000000").split(",")]
+N = int(os.environ.get("RD_FRAMES", "32"))
+# pan+noise content saturates at its noise-floor PSNR at ANY rate >=1
+# Mbps (measured r5: 35.4 dB from 0.32MB to 4.9MB) and cannot produce a
+# rate-distortion CURVE; the zoom+rotation clip has real detail whose
+# quality moves with rate, so BD-rate is computed on it
+CONTENT = os.environ.get("RD_CONTENT", "zoomrot")
 
 
 def bd_rate(rate_ref, psnr_ref, rate_test, psnr_test):
@@ -47,7 +52,9 @@ def bd_rate(rate_ref, psnr_ref, rate_test, psnr_test):
 
 
 def main():
-    frames = bench.make_frames(N)
+    frames = (bench.make_frames_zoomrot(N, noise=1.0)
+              if CONTENT == "zoomrot"
+              else bench.make_frames(N))
     rows = []
     warm = True
     for br in BITRATES:
