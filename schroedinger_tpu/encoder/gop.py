@@ -490,9 +490,43 @@ class GopEncoder:
                     "want_stats": True}
         if self.rc is not None:
             if hasattr(self.rc, "frame_lambda"):   # TM5 (enable_rdo_cbr)
+                # per-frame on-device lambda fit: the TM5 lambda seeds
+                # the device bisection, which rescales it so the
+                # corrected bit estimate of the picks matches this
+                # picture's complexity-weighted allocation (the
+                # reference's entropy_to_lambda, schroquantiser.c:
+                # 887-960).  Without the fit, spend responds to lambda
+                # only as ~lambda^(1/4) in the power-4 error units and
+                # the subgroup controller needs tens of frames to track
+                # a rate change (measured r5: 1.7x overspend after 96
+                # frames of a 500 kbps request; with the fit the spend
+                # lands on the allocation per frame, like the I does)
+                alloc = {"I": self.rc.I_frame_alloc,
+                         "P": self.rc.P_frame_alloc,
+                         "B": self.rc.B_frame_alloc}[kind]
+                oh = self._oh_inter or 0.0
+                # buffer-aware cap, not a hard per-frame budget: a full
+                # reservoir lets pictures spend up to ~3x their
+                # complexity allocation (quality rides the buffer, like
+                # the reference's get_alloc curve, schroengine.c:
+                # 552-637), a draining one tightens toward 1x.  A hard
+                # cap starves P's and death-spirals the complexity
+                # model (measured r5: P psnr -6.7 dB at equal rate)
+                occ = max(self.rc.buffer_level / self.rc.buffer_size,
+                          0.0)
+                if occ > 0.7:
+                    # reservoir healthy: the buffer IS the CBR contract,
+                    # so let TM5 stable-quality spend ride it (capping
+                    # while the buffer is full starves the P chain and
+                    # drifts quality down the GOP — measured r5)
+                    target = 0.0
+                else:
+                    cap = alloc * (1.0 + 2.0 * occ)
+                    target = max(cap - oh, 0.25 * alloc)
                 return {"lam_bands": (self.rc.frame_lambda(kind)
                                       * self._band_scales3(False)),
                         "corr_bands": corr,
+                        "target_bits": target,
                         "me_lam": self._me_lam()}
             # allocation engine: host pick against lagged stat tables
             stats = (self._last_stats or self._stats_by_kind.get(kind)
@@ -896,6 +930,8 @@ class GopEncoder:
                               pending.get("badblock_ratio", 0.0), 3),
                           buffer_level=(self.rc.buffer_level if self.rc
                                         else None),
+                          base_lambda=getattr(self.rc, "base_lambda",
+                                              None) if self.rc else None,
                           **(self._quality_metrics(pending["recon"], keep)
                              if keep is not None else {}))
         if pad_unit:

@@ -1073,9 +1073,14 @@ def _get_p_step(p: Params, n_extra: int = 0, want_stats: bool = False,
                     return (jnp.where(b < target_bits, mid, lo),
                             jnp.where(b < target_bits, hi, mid))
 
+                # DOWN-scaling only (hi = 1): the fit exists to hold the
+                # allocation when the TM5 quality level would overspend;
+                # easy content keeps the TM5 stable-quality undershoot
+                # (the reference's rdo_cbr behaviour) instead of being
+                # inflated to the budget
                 lo, hi = jax.lax.fori_loop(
                     0, 22, body,
-                    (jnp.float32(1.0 / 16384.0), jnp.float32(16384.0)))
+                    (jnp.float32(1.0 / 16384.0), jnp.float32(1.0)))
                 return jnp.sqrt(lo * hi)
 
             if _toggles.disabled("lam_fit"):
@@ -1691,9 +1696,12 @@ def finish_inter_picture(pending: dict, frame_number: int, ref1_num: int,
     stats = ((rc[0].copy(), rc[1].copy())
              if pending.get("want_stats") else None)
     if _STATS_DEBUG:
+        pm = mv["pred_mode"]
+        hist = [int((pm == m).sum()) for m in range(4)]
         print(f"statsdbg frame {frame_number}: bits max "
               f"{np.nanmax(rc[0]):.3e} err max {np.nanmax(rc[1]):.3e} "
               f"inf {np.isinf(rc).sum()} nan {np.isnan(rc).sum()} "
+              f"modes dc/r1/r2/bi {hist} "
               f"qi {np.asarray(qi_bands).ravel().tolist() if pending.get('rdo') else None}",
               file=sys.stderr, flush=True)
     host_q = []
