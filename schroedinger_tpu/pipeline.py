@@ -6,9 +6,10 @@ slice reordering, dead-zone quantisation at every candidate base index, and
 per-slice bit/last-nonzero aggregates. The host only runs the tiny per-slice
 quant-index search and DC chains on the returned aggregates.
 
-Also provides the sharded multi-frame training-step analog used by
-`__graft_entry__.dryrun_multichip`: frames-within-GOP data parallelism over a
-`jax.sharding.Mesh` ('frame' axis), the codec's equivalent of dp.
+Frames-within-GOP data parallelism lives elsewhere: on a mesh, dryrun 1
+(`__graft_entry__`) shards the fused 2-ref inter step one-B-per-device;
+on a single chip, `encoder.inter.start_inter_batch` vmaps a subgroup's
+B pictures into one program.
 """
 from __future__ import annotations
 
@@ -19,7 +20,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from schroedinger_tpu import tables
 from schroedinger_tpu.coding import slices as sl
@@ -135,36 +135,3 @@ def make_lowdelay_transform(p: Params):
     return jax.jit(run)
 
 
-def make_frame_parallel_step(p: Params, mesh: Mesh, axis: str = "frame"):
-    """Sharded multi-frame low-delay analysis step: a batch of frames is
-    sharded across `axis`; each device transforms + quantises its frames and
-    the total coded-bit estimate is psum'd. This is the dp axis of the codec
-    (frames within a GOP are independent in low-delay/intra profiles)."""
-    depth = p.transform_depth
-    wavelet = p.wavelet_filter_index
-    ny, nx = p.n_vert_slices, p.n_horiz_slices
-    nb = subband_count(depth)
-    qm = np.asarray(p.quant_matrix[:nb], dtype=np.int32)
-    QF = jnp.asarray(tables.QUANT_FACTOR, jnp.int32)
-    QO = jnp.asarray(tables.QUANT_OFFSET_1_2, jnp.int32)
-    oh, ow = p.iwt_luma_height, p.iwt_luma_width
-
-    def per_frame(y):
-        x = y.astype(jnp.int16) - 128
-        h, w = x.shape
-        x = jnp.pad(x, ((0, oh - h), (0, ow - w)), mode="edge")
-        pyr = wv.forward(x, depth, wavelet)
-        bands = sl.subband_arrays(pyr, depth)
-        sliced, bidx = sl.to_slices([b.astype(jnp.int32) for b in bands], ny, nx)
-        qi = jnp.clip(16 - jnp.asarray(qm[bidx]), 0, 60)
-        qq = q.quantise(sliced, QF[qi], QO[qi])
-        return _sint_bits_jnp(qq).sum()
-
-    def step(batch):
-        bits = jax.vmap(per_frame)(batch)
-        return jax.lax.psum(bits.sum(), axis)
-
-    from jax.experimental.shard_map import shard_map
-    return jax.jit(shard_map(step, mesh=mesh,
-                             in_specs=P(axis, None, None),
-                             out_specs=P()))
